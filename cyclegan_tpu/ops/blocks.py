@@ -1,0 +1,190 @@
+"""Flax modules for the reference's op blocks (SURVEY.md §2, `arch/ops.py`).
+
+Equivalents of ``conv_norm_relu`` / ``dconv_norm_relu`` / ``ResidualBlock`` /
+``get_norm_layer``, built on the NHWC functional primitives. Params are fp32;
+``dtype`` selects the compute precision (bf16 on TPU for the MXU path).
+
+There is no ``set_grad`` equivalent: freezing D during the G step is expressed
+functionally (grads are taken only w.r.t. the G params pytree) — see
+cyclegan_tpu/train/cyclegan.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cyclegan_tpu.ops import functional as F
+from cyclegan_tpu.ops.init import conv_kernel_init
+
+Dtype = Any
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d-equivalent (biased var, eps=1e-5, no running stats).
+
+    ``affine=False`` by default to match the reference's
+    ``get_norm_layer('instance')`` (SURVEY.md §2).
+    """
+
+    affine: bool = False
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = bias = None
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+        return F.instance_norm(x, scale, bias, eps=self.eps)
+
+
+def get_norm(norm: str) -> Callable[[], Optional[nn.Module]]:
+    """Norm-layer selector (reference ``get_norm_layer`` — SURVEY.md §2).
+
+    Returns a zero-arg factory; 'none' yields None (caller skips the layer).
+    'batch' uses batch statistics per step (train-mode semantics) — the
+    reference only ever runs norm layers in training mode inside its loops.
+    """
+    if norm == "instance":
+        return lambda: InstanceNorm(affine=False)
+    if norm == "batch":
+        # Train-mode batch norm without running stats: statistically identical
+        # to instance norm computed over (N, H, W) — implemented as a thin
+        # module to stay stateless/jit-friendly (no mutable collections).
+        return lambda: _BatchStatNorm()
+    if norm == "none":
+        return lambda: None
+    raise ValueError(f"unknown norm: {norm!r} (expected instance|batch|none)")
+
+
+class _BatchStatNorm(nn.Module):
+    """Affine norm over (N, H, W) using current-batch statistics."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class ConvBlock(nn.Module):
+    """[reflect|zero]-pad -> conv -> norm -> activation.
+
+    Reference ``conv_norm_relu`` (SURVEY.md §2): reflect padding for generator
+    blocks, zero padding for the PatchGAN; activation is relu / leaky(0.2) /
+    none.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    pad: int = 0
+    pad_mode: str = "reflect"  # reflect | zero
+    norm: str = "instance"
+    act: str = "relu"  # relu | leaky | none
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param(
+            "kernel",
+            conv_kernel_init(0.02),
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        if self.pad_mode == "reflect":
+            x = F.reflect_pad(x, self.pad)
+            x = F.conv2d(x, w, b, stride=self.stride, padding=0, compute_dtype=self.dtype)
+        else:
+            x = F.conv2d(x, w, b, stride=self.stride, padding=self.pad, compute_dtype=self.dtype)
+        norm_layer = get_norm(self.norm)()
+        if norm_layer is not None:
+            x = norm_layer(x)
+        if self.act == "relu":
+            x = jax.nn.relu(x)
+        elif self.act == "leaky":
+            x = F.leaky_relu(x, 0.2)
+        return x
+
+
+class DeconvBlock(nn.Module):
+    """Transposed conv (torch geometry) -> norm -> ReLU.
+
+    Reference ``dconv_norm_relu`` (SURVEY.md §2): k=3, s=2, p=1, op=1 doubles
+    the spatial dims.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    norm: str = "instance"
+    act: str = "relu"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param(
+            "kernel",
+            conv_kernel_init(0.02),
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        x = F.conv2d_transpose(
+            x,
+            w,
+            b,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+            compute_dtype=self.dtype,
+        )
+        norm_layer = get_norm(self.norm)()
+        if norm_layer is not None:
+            x = norm_layer(x)
+        if self.act == "relu":
+            x = jax.nn.relu(x)
+        elif self.act == "leaky":
+            x = F.leaky_relu(x, 0.2)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """[refpad1, conv3x3, IN, ReLU, (dropout), refpad1, conv3x3, IN] + x.
+
+    Reference ``ResidualBlock`` (SURVEY.md §3b).
+    """
+
+    features: int
+    norm: str = "instance"
+    use_dropout: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        h = ConvBlock(
+            self.features, kernel=3, pad=1, pad_mode="reflect", norm=self.norm,
+            act="relu", dtype=self.dtype,
+        )(x)
+        if self.use_dropout:
+            h = nn.Dropout(rate=0.5, deterministic=deterministic)(h)
+        h = ConvBlock(
+            self.features, kernel=3, pad=1, pad_mode="reflect", norm=self.norm,
+            act="none", dtype=self.dtype,
+        )(h)
+        return x + h

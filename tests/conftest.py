@@ -1,0 +1,18 @@
+"""Test config: run everything on CPU with 8 virtual devices.
+
+Must set env vars before jax imports (SURVEY.md §4 "multi-device without a
+cluster"). Parity tests use torch-CPU as the oracle.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
