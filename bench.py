@@ -1,0 +1,97 @@
+"""Benchmark: semi-sup CycleGAN train steps/sec at 256x256 (BASELINE.json
+headline metric), run on the default JAX platform (the real TPU chip under
+the driver).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline = our steps/sec divided by the torch-CPU reference-semantics step
+throughput (tools/torch_reference.py) at the same size/batch, measured on this
+machine and recorded below (re-measure with --measure-baseline). Target >= 8x
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+# Measured on this machine via `python tools/torch_reference.py --steps 3
+# --size 256 --batch 1` (see BASELINE.md "Measured results").
+TORCH_CPU_BASELINE_SPS = None  # filled after first measurement; see below
+try:
+    with open(__file__.replace("bench.py", "BASELINE_MEASURED.json")) as f:
+        TORCH_CPU_BASELINE_SPS = json.load(f).get("torch_cpu_steps_per_sec")
+except (FileNotFoundError, json.JSONDecodeError):
+    pass
+
+
+def measure_jax(size: int, batch: int, steps: int, warmup: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from cyclegan_tpu.parallel import make_mesh, replicate_state, shard_batch, jit_step
+    from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+    from cyclegan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", gen_net="resnet_9blocks",
+                 crop_height=size, crop_width=size, batch_size=batch,
+                 bf16=True, epochs=200, decay_epoch=100)
+    trainer = CycleGANTrainer(cfg, num_classes=21, in_channels=3,
+                              steps_per_epoch=100)
+    mesh = make_mesh(1)
+    state = replicate_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
+    step = jit_step(trainer.train_step)
+
+    rng = jax.random.PRNGKey(1)
+    batch_d = shard_batch(
+        {
+            "lab_image": jax.random.uniform(rng, (batch, size, size, 3),
+                                            minval=-1, maxval=1),
+            "lab_label": jax.random.randint(rng, (batch, size, size), 0, 21),
+            "unlab_image": jax.random.uniform(rng, (batch, size, size, 3),
+                                              minval=-1, maxval=1),
+        },
+        mesh,
+    )
+    for _ in range(warmup):
+        state, m = step(state, batch_d)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, batch_d)
+    jax.block_until_ready(m)
+    return steps / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--measure-baseline", action="store_true",
+                    help="re-measure the torch-CPU denominator (slow)")
+    args = ap.parse_args()
+
+    baseline = TORCH_CPU_BASELINE_SPS
+    if args.measure_baseline or baseline is None:
+        from tools.torch_reference import measure as torch_measure
+
+        baseline = torch_measure(args.size, args.batch, steps=2, warmup=1)
+        with open(__file__.replace("bench.py", "BASELINE_MEASURED.json"), "w") as f:
+            json.dump({"torch_cpu_steps_per_sec": baseline, "size": args.size,
+                       "batch": args.batch}, f)
+
+    sps = measure_jax(args.size, args.batch, args.steps, args.warmup)
+    print(json.dumps({
+        "metric": f"cyclegan_train_steps_per_sec_{args.size}x{args.size}_b{args.batch}",
+        "value": round(sps, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(sps / baseline, 3) if baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""VOC colormap <-> class-index codecs and one-hot encoding (SURVEY.md §2
+"Data pipeline": "VOC 21-class palette <-> index encode/decode; one-hot label
+encoding for feeding the label->image generator").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def voc_colormap(num_classes: int = 256) -> np.ndarray:
+    """The standard PASCAL VOC color palette (bit-interleaving algorithm)."""
+    cmap = np.zeros((num_classes, 3), dtype=np.uint8)
+    for i in range(num_classes):
+        r = g = b = 0
+        c = i
+        for j in range(8):
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        cmap[i] = (r, g, b)
+    return cmap
+
+
+def encode_colormap(rgb: np.ndarray, num_classes: int = 21) -> np.ndarray:
+    """RGB palette image (H, W, 3) uint8 -> class-index map (H, W) uint8.
+
+    Unknown colors (e.g. the 255 'void' border color (224,224,192)) map to 255.
+    """
+    cmap = voc_colormap(256)
+    # Hash each color to a 24-bit int for O(1) lookup.
+    lut = np.full(1 << 24, 255, dtype=np.uint8)
+    keys = (cmap[:, 0].astype(np.int64) << 16) | (cmap[:, 1].astype(np.int64) << 8) | cmap[:, 2]
+    for idx in range(num_classes):
+        lut[keys[idx]] = idx
+    lut[keys[255]] = 255  # void
+    flat = (rgb[..., 0].astype(np.int64) << 16) | (rgb[..., 1].astype(np.int64) << 8) | rgb[..., 2]
+    return lut[flat]
+
+
+def decode_colormap(labels: np.ndarray) -> np.ndarray:
+    """Class-index map (H, W) -> RGB (H, W, 3) uint8 via the VOC palette."""
+    cmap = voc_colormap(256)
+    return cmap[np.clip(labels, 0, 255)]
+
+
+def one_hot(labels: np.ndarray, num_classes: int, *, ignore_index: int | None = 255) -> np.ndarray:
+    """(..., H, W) int labels -> (..., H, W, num_classes) float32 one-hot.
+
+    Ignored pixels become all-zeros (the label->image generator sees no class
+    there, matching feeding a zero row for void).
+    """
+    safe = np.where(labels == ignore_index, 0, labels) if ignore_index is not None else labels
+    oh = np.eye(num_classes, dtype=np.float32)[safe]
+    if ignore_index is not None:
+        oh = oh * (labels != ignore_index)[..., None].astype(np.float32)
+    return oh

@@ -1,0 +1,91 @@
+"""Image/label transforms (reference torchvision pipeline — SURVEY.md §2):
+resize -> random crop to (crop_h, crop_w) -> random horizontal flip ->
+normalize to [-1, 1]. Pure numpy + PIL, with an injectable
+``numpy.random.Generator`` so parity tests can pre-materialize deterministic
+batches (SURVEY.md §7 "hard parts").
+
+Output shapes are always exactly (crop_h, crop_w) — fixed shapes for XLA.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+
+def resize_pair(
+    img: np.ndarray, lab: np.ndarray | None, size_hw: tuple[int, int]
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Resize image (bilinear) and label (nearest) to (h, w)."""
+    h, w = size_hw
+    pil_img = Image.fromarray(img).resize((w, h), Image.BILINEAR)
+    img = np.asarray(pil_img)
+    if lab is not None:
+        pil_lab = Image.fromarray(lab).resize((w, h), Image.NEAREST)
+        lab = np.asarray(pil_lab)
+    return img, lab
+
+
+def random_crop_pair(
+    img: np.ndarray,
+    lab: np.ndarray | None,
+    crop_hw: tuple[int, int],
+    rng: np.random.Generator,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    ch, cw = crop_hw
+    h, w = img.shape[:2]
+    if h < ch or w < cw:  # upscale first so the crop always fits
+        scale = max(ch / h, cw / w)
+        img, lab = resize_pair(img, lab, (max(ch, int(round(h * scale))),
+                                          max(cw, int(round(w * scale)))))
+        h, w = img.shape[:2]
+    top = int(rng.integers(0, h - ch + 1))
+    left = int(rng.integers(0, w - cw + 1))
+    img = img[top:top + ch, left:left + cw]
+    if lab is not None:
+        lab = lab[top:top + ch, left:left + cw]
+    return img, lab
+
+
+def random_hflip_pair(
+    img: np.ndarray, lab: np.ndarray | None, rng: np.random.Generator, p: float = 0.5
+) -> tuple[np.ndarray, np.ndarray | None]:
+    if rng.random() < p:
+        img = img[:, ::-1]
+        if lab is not None:
+            lab = lab[:, ::-1]
+    return img, lab
+
+
+def normalize(img: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1, 1] (torchvision Normalize(0.5, 0.5))."""
+    return img.astype(np.float32) / 127.5 - 1.0
+
+
+def train_transform(
+    img: np.ndarray,
+    lab: np.ndarray | None,
+    *,
+    crop_hw: tuple[int, int],
+    rng: np.random.Generator,
+    resize_hw: tuple[int, int] | None = None,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """resize -> random crop -> random flip -> normalize."""
+    if resize_hw is not None:
+        img, lab = resize_pair(img, lab, resize_hw)
+    img, lab = random_crop_pair(img, lab, crop_hw, rng)
+    img, lab = random_hflip_pair(img, lab, rng)
+    img = normalize(np.ascontiguousarray(img))
+    lab = np.ascontiguousarray(lab) if lab is not None else None
+    return img, lab
+
+
+def eval_transform(
+    img: np.ndarray,
+    lab: np.ndarray | None,
+    *,
+    crop_hw: tuple[int, int],
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Deterministic resize-to-shape for validation (fixed shapes for XLA)."""
+    img, lab = resize_pair(img, lab, crop_hw)
+    return normalize(img), lab

@@ -1,0 +1,81 @@
+"""CLI entry (reference `main.py` — SURVEY.md §2 "CLI entry"): argparse ->
+dispatch train/test; selects dataset and model (supervised vs semi-sup).
+
+Flag names mirror the reference's surface (``--training``, ``--testing``,
+``--dataset``, ``--epochs``, ``--decay_epoch``, ``--batch_size``, ``--lr``,
+``--lamda``, ``--crop_height``/``--crop_width``, ``--ngf``/``--ndf``,
+``--gen_net``/``--dis_net``, ``--norm``, ``--checkpoint_dir``,
+``--results_dir``). ``--gpu_ids`` becomes ``--num_devices`` (mesh size).
+
+Usage:
+  python -m cyclegan_tpu.main --training --dataset synthetic --epochs 2
+  python -m cyclegan_tpu.main --training --model supervised --dataset voc2012 \
+      --data_root /data/VOC2012
+  python -m cyclegan_tpu.main --testing --dataset synthetic
+  python -m cyclegan_tpu.main --training --preset voc_semisup_256 --data_root ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from cyclegan_tpu.utils.config import Config, preset
+
+
+def get_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="TPU-native semi-supervised CycleGAN segmentation")
+    p.add_argument("--training", action="store_true")
+    p.add_argument("--testing", action="store_true")
+    p.add_argument("--model", choices=["supervised", "semisupervised"],
+                   default="semisupervised")
+    p.add_argument("--preset", type=str, default=None,
+                   help="one of the benchmark presets (see utils.config.PRESETS)")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="stop after N optimizer steps (smoke runs)")
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        if f.name in ("bf16",):
+            p.add_argument("--no_bf16", dest="bf16", action="store_false",
+                           default=None)
+            continue
+        arg_type = {int: int, float: float, str: str}.get(
+            f.type if isinstance(f.type, type) else type(getattr(defaults, f.name)))
+        if arg_type is None and getattr(defaults, f.name) is None:
+            arg_type = str if f.name == "data_root" else int
+        if isinstance(getattr(defaults, f.name), bool):
+            p.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true"),
+                           default=None)
+        else:
+            p.add_argument(f"--{f.name}", type=arg_type or str, default=None)
+    return p.parse_args(argv)
+
+
+def build_config(args: argparse.Namespace) -> Config:
+    cfg = preset(args.preset) if args.preset else Config()
+    overrides = {
+        f.name: getattr(args, f.name)
+        for f in dataclasses.fields(Config)
+        if getattr(args, f.name, None) is not None
+    }
+    return cfg.replace(**overrides)
+
+
+def main(argv=None) -> None:
+    args = get_args(argv)
+    cfg = build_config(args)
+    from cyclegan_tpu.train import runner  # deferred: jax init is slow
+
+    if args.testing:
+        runner.run_test(cfg, semisupervised=args.model == "semisupervised")
+    elif args.training:
+        if args.model == "supervised":
+            runner.run_supervised(cfg, max_steps=args.max_steps)
+        else:
+            runner.run_cyclegan(cfg, max_steps=args.max_steps)
+    else:
+        raise SystemExit("pass --training or --testing")
+
+
+if __name__ == "__main__":
+    main()

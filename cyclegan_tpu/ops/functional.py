@@ -55,13 +55,18 @@ def conv2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # Output dtype matches the inputs (bf16 under mixed precision — the MXU
+    # still accumulates bf16 matmuls in fp32 internally). Mixing bf16 inputs
+    # with a f32 preferred_element_type breaks the conv VJP (dtype-mismatched
+    # cotangents), so precision recovery happens in the loss/norm layers
+    # instead.
     out = lax.conv_general_dilated(
         x,
         w,
         window_strides=tuple(stride),
         padding=padding,
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -108,7 +113,7 @@ def conv2d_transpose(
         padding=pad,
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     if b is not None:
         out = out + b.astype(out.dtype)

@@ -1,0 +1,189 @@
+"""Semi-supervised CycleGAN trainer (reference ``semisuper_cycleGAN`` —
+SURVEY.md §2/§3a).
+
+The reference's hot loop (G step, pool query, D step) compiles to ONE jitted
+XLA program per train step:
+
+G phase (D params held constant — grads are taken only w.r.t. the G pytrees,
+the functional equivalent of the reference's ``set_grad(D, False)``):
+  fake_lab  = softmax(G_i2l(unlab_img))        # continuous label bridge
+  fake_img  = G_l2i(onehot(real_lab))
+  adv       = MSE(D_lab(fake_lab), 1) + MSE(D_img(fake_img), 1)
+  cycle_img = L1(G_l2i(fake_lab), unlab_img) * lamda
+  cycle_lab = CE(G_i2l(fake_img), real_lab) * lamda_lab   # label-side cycle
+  sup       = CE(G_i2l(lab_img), lab_gt)                  # labeled subset
+
+Pool phase: detached fakes go through the device-resident replay pools
+(cyclegan_tpu.train.pool).
+
+D phase:
+  0.5 * [MSE(D_img(real_img), 1) + MSE(D_img(pool_fake_img), 0)]
+  0.5 * [MSE(D_lab(onehot(real_lab)), 1) + MSE(D_lab(pool_fake_lab), 0)]
+
+Assumption notes ([M]/[P] provenance — reference mount empty, SURVEY.md §0):
+the label-side cycle uses CE against the original label map (paper
+arXiv:1908.11569 formulates the label cycle as a CE term); the label->image
+generator consumes one-hot GT labels and softmax predictions (the
+"softmax-label bridge", SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cyclegan_tpu.models import define_Dis, define_Gen
+from cyclegan_tpu.train import losses, metrics, schedule
+from cyclegan_tpu.train.pool import PoolState, init_pool, pool_query
+from cyclegan_tpu.utils.config import Config
+
+
+class CycleGANState(NamedTuple):
+    g_i2l: Any          # G: image -> label logits (the segmentation net)
+    g_l2i: Any          # G: label probs -> image
+    d_img: Any          # D on the image domain
+    d_lab: Any          # D on the label-prob domain
+    g_opt: optax.OptState
+    d_opt: optax.OptState
+    pool_img: PoolState  # replay buffer of fake images
+    pool_lab: PoolState  # replay buffer of fake label maps
+    rng: jax.Array
+    step: jax.Array
+
+
+class CycleGANTrainer:
+    def __init__(self, cfg: Config, num_classes: int, in_channels: int,
+                 steps_per_epoch: int):
+        self.cfg = cfg
+        self.num_classes = num_classes
+        self.in_channels = in_channels
+        dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+        self.G_i2l = define_Gen(num_classes, cfg.ngf, cfg.gen_net, cfg.norm,
+                                cfg.use_dropout, head="none", dtype=dtype)
+        self.G_l2i = define_Gen(in_channels, cfg.ngf, cfg.gen_net, cfg.norm,
+                                cfg.use_dropout, head="tanh", dtype=dtype)
+        self.D_img = define_Dis(cfg.ndf, cfg.dis_net, cfg.n_layers_D, cfg.norm,
+                                dtype=dtype)
+        self.D_lab = define_Dis(cfg.ndf, cfg.dis_net, cfg.n_layers_D, cfg.norm,
+                                dtype=dtype)
+        lr = schedule.make_lambda_lr(
+            cfg.lr, epochs=cfg.epochs, decay_epoch=cfg.decay_epoch,
+            steps_per_epoch=steps_per_epoch)
+        self.g_tx = schedule.make_adam(lr)
+        self.d_tx = schedule.make_adam(lr)
+        self.ignore_index = 255
+        self.lamda = cfg.lamda
+        self.lamda_lab = cfg.lamda
+
+    def init_state(self, rng: jax.Array) -> CycleGANState:
+        cfg = self.cfg
+        h, w, c = cfg.crop_height, cfg.crop_width, self.in_channels
+        k = jax.random.split(rng, 5)
+        img = jnp.zeros((1, h, w, c), jnp.float32)
+        lab_probs = jnp.zeros((1, h, w, self.num_classes), jnp.float32)
+        g_i2l = self.G_i2l.init(k[0], img)
+        g_l2i = self.G_l2i.init(k[1], lab_probs)
+        d_img = self.D_img.init(k[2], img)
+        d_lab = self.D_lab.init(k[3], lab_probs)
+        return CycleGANState(
+            g_i2l=g_i2l, g_l2i=g_l2i, d_img=d_img, d_lab=d_lab,
+            g_opt=self.g_tx.init((g_i2l, g_l2i)),
+            d_opt=self.d_tx.init((d_img, d_lab)),
+            pool_img=init_pool(cfg.pool_size, (h, w, c)),
+            pool_lab=init_pool(cfg.pool_size, (h, w, self.num_classes)),
+            rng=k[4], step=jnp.zeros((), jnp.int32),
+        )
+
+    def _onehot(self, labels: jax.Array) -> jax.Array:
+        oh = jax.nn.one_hot(
+            jnp.where(labels == self.ignore_index, 0, labels), self.num_classes)
+        return oh * (labels != self.ignore_index)[..., None]
+
+    def train_step(self, state: CycleGANState, batch: dict
+                   ) -> tuple[CycleGANState, dict]:
+        """One alternating G/D update as a single functional step.
+
+        ``batch``: lab_image (B,H,W,C), lab_label (B,H,W) int, unlab_image
+        (B,H,W,C). jit/donate me.
+        """
+        real_lab_oh = self._onehot(batch["lab_label"])
+
+        def g_loss_fn(g_params):
+            g_i2l, g_l2i = g_params
+            fake_lab = jax.nn.softmax(
+                self.G_i2l.apply(g_i2l, batch["unlab_image"]), axis=-1)
+            fake_img = self.G_l2i.apply(g_l2i, real_lab_oh)
+            # adversarial (LSGAN) — D params are closed-over constants
+            adv_lab = losses.lsgan_loss(self.D_lab.apply(state.d_lab, fake_lab), True)
+            adv_img = losses.lsgan_loss(self.D_img.apply(state.d_img, fake_img), True)
+            # cycles
+            rec_img = self.G_l2i.apply(g_l2i, fake_lab)
+            cyc_img = losses.l1_loss(rec_img, batch["unlab_image"]) * self.lamda
+            rec_lab_logits = self.G_i2l.apply(g_i2l, fake_img)
+            cyc_lab = losses.cross_entropy_loss(
+                rec_lab_logits, batch["lab_label"],
+                ignore_index=self.ignore_index) * self.lamda_lab
+            # supervised CE on the labeled subset
+            sup_logits = self.G_i2l.apply(g_i2l, batch["lab_image"])
+            sup = losses.cross_entropy_loss(
+                sup_logits, batch["lab_label"], ignore_index=self.ignore_index)
+            total = adv_lab + adv_img + cyc_img + cyc_lab + sup
+            aux = {
+                "g_adv": adv_lab + adv_img, "g_cycle_img": cyc_img,
+                "g_cycle_lab": cyc_lab, "g_sup": sup, "g_total": total,
+                "fake_lab": fake_lab, "fake_img": fake_img,
+            }
+            return total, aux
+
+        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            (state.g_i2l, state.g_l2i))
+        g_updates, g_opt = self.g_tx.update(
+            g_grads, state.g_opt, (state.g_i2l, state.g_l2i))
+        g_i2l, g_l2i = optax.apply_updates((state.g_i2l, state.g_l2i), g_updates)
+
+        # Pool phase: detached fakes through the replay buffers.
+        rng, k_img, k_lab = jax.random.split(state.rng, 3)
+        fake_img = jax.lax.stop_gradient(aux.pop("fake_img"))
+        fake_lab = jax.lax.stop_gradient(aux.pop("fake_lab"))
+        pool_img, pooled_fake_img = pool_query(state.pool_img, fake_img, k_img)
+        pool_lab, pooled_fake_lab = pool_query(state.pool_lab, fake_lab, k_lab)
+
+        def d_loss_fn(d_params):
+            d_img_p, d_lab_p = d_params
+            d_img_loss = 0.5 * (
+                losses.lsgan_loss(self.D_img.apply(d_img_p, batch["unlab_image"]), True)
+                + losses.lsgan_loss(self.D_img.apply(d_img_p, pooled_fake_img), False))
+            d_lab_loss = 0.5 * (
+                losses.lsgan_loss(self.D_lab.apply(d_lab_p, real_lab_oh), True)
+                + losses.lsgan_loss(self.D_lab.apply(d_lab_p, pooled_fake_lab), False))
+            total = d_img_loss + d_lab_loss
+            return total, {"d_img": d_img_loss, "d_lab": d_lab_loss, "d_total": total}
+
+        (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            (state.d_img, state.d_lab))
+        d_updates, d_opt = self.d_tx.update(
+            d_grads, state.d_opt, (state.d_img, state.d_lab))
+        d_img_p, d_lab_p = optax.apply_updates((state.d_img, state.d_lab), d_updates)
+
+        new_state = CycleGANState(
+            g_i2l=g_i2l, g_l2i=g_l2i, d_img=d_img_p, d_lab=d_lab_p,
+            g_opt=g_opt, d_opt=d_opt, pool_img=pool_img, pool_lab=pool_lab,
+            rng=rng, step=state.step + 1)
+        aux.update(d_aux)
+        return new_state, aux
+
+    def eval_step(self, g_i2l_params: Any, batch: dict) -> jax.Array:
+        logits = self.G_i2l.apply(g_i2l_params, batch["image"])
+        pred = jnp.argmax(logits, axis=-1)
+        return metrics.confusion_matrix(
+            pred, batch["label"], self.num_classes, ignore_index=self.ignore_index)
+
+    def predict(self, g_i2l_params: Any, image: jax.Array) -> jax.Array:
+        return jnp.argmax(self.G_i2l.apply(g_i2l_params, image), axis=-1)
+
+    def generate_image(self, g_l2i_params: Any, labels: jax.Array) -> jax.Array:
+        """label map -> synthesized image (sample-dump path, SURVEY.md §3a)."""
+        return self.G_l2i.apply(g_l2i_params, self._onehot(labels))

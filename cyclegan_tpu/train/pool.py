@@ -44,6 +44,7 @@ def pool_query(
     branches are mask-selects, the batch walk is a ``lax.scan``.
     """
     max_size = state.buffer.shape[0]
+    items = items.astype(state.buffer.dtype)  # bf16 fakes into an fp32 buffer
 
     def step(carry, inp):
         buffer, count = carry

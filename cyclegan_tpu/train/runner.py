@@ -1,0 +1,229 @@
+"""Training/eval loops (reference ``model.py .train()`` outer loops —
+SURVEY.md §3a): epoch loop, per-step logging with steps/sec (a first-class
+metric, SURVEY.md §5), per-epoch LR decay (inside the jitted schedule),
+validation, sample dumps, checkpoint every epoch, auto-resume.
+
+Everything inside the step is compiled; the Python loop only feeds sharded
+batches and pulls scalar metrics (asynchronously — metrics are fetched one
+step late to avoid a device sync on the hot path).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Persistent XLA compilation cache: first compile of the big GAN step is slow
+# (SURVEY.md notes ~20-40s on TPU, minutes on CPU); subsequent runs hit disk.
+if not os.environ.get("CYCLEGAN_TPU_NO_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("CYCLEGAN_TPU_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/cyclegan_tpu_xla")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from cyclegan_tpu.data.datasets import DATASET_SPECS, make_dataset, split_labeled
+from cyclegan_tpu.data.loader import Loader, paired_iterator
+from cyclegan_tpu.data.palette import decode_colormap
+from cyclegan_tpu.parallel import (
+    make_mesh, replicate_state, shard_batch, jit_step)
+from cyclegan_tpu.train import metrics as metrics_lib
+from cyclegan_tpu.train.checkpoint import CheckpointManager
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+from cyclegan_tpu.train.supervised import SupervisedTrainer
+from cyclegan_tpu.utils.config import Config
+
+
+def _log(step: int, epoch: int, metrics: dict, sps: float) -> None:
+    parts = " ".join(
+        f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
+        if np.ndim(v) == 0)
+    print(f"[epoch {epoch} step {step}] {parts} steps/sec={sps:.3f}", flush=True)
+
+
+def _dataset_spec(cfg: Config):
+    num_classes, in_ch, _ = DATASET_SPECS[cfg.dataset]
+    return num_classes, in_ch
+
+
+def _evaluate(trainer, params, val_loader: Loader, eval_jit) -> dict:
+    hist = None
+    for batch in val_loader.epoch(0):
+        if "label" not in batch:
+            continue
+        h = eval_jit(params, batch)
+        hist = h if hist is None else hist + h
+    if hist is None:
+        return {}
+    s = metrics_lib.scores(hist)
+    return {k: float(v) for k, v in s.items() if np.ndim(v) == 0}
+
+
+def run_supervised(cfg: Config, *, max_steps: int | None = None) -> dict:
+    """Config-1 path: the minimum end-to-end slice (SURVEY.md §7 item 4)."""
+    num_classes, in_ch = _dataset_spec(cfg)
+    train_ds = make_dataset(cfg.dataset, cfg.data_root, split="train",
+                            size=cfg.dataset_size)
+    val_ds = make_dataset(cfg.dataset, cfg.data_root, split="val")
+    train_loader = Loader(train_ds, batch_size=cfg.batch_size,
+                          crop_hw=cfg.crop_hw, train=True, seed=cfg.seed)
+    val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
+                        train=False, drop_last=False)
+    spe = train_loader.steps_per_epoch()
+    trainer = SupervisedTrainer(cfg, num_classes, in_ch, spe)
+
+    mesh = make_mesh(cfg.num_devices)
+    state = replicate_state(trainer.init_state(jax.random.PRNGKey(cfg.seed)), mesh)
+    step_jit = jit_step(trainer.train_step)
+    eval_jit = jax.jit(trainer.eval_step)
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    start_epoch = 0
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state, start_epoch = restored
+        print(f"resumed from epoch {start_epoch - 1}", flush=True)
+
+    result: dict = {}
+    total_steps = 0
+    for epoch in range(start_epoch, cfg.epochs):
+        t0, n = time.perf_counter(), 0
+        for batch in train_loader.epoch(epoch):
+            state, m = step_jit(state, shard_batch(batch, mesh))
+            n += 1
+            total_steps += 1
+            if n % cfg.log_every == 0:
+                sps = n / (time.perf_counter() - t0)
+                _log(total_steps, epoch, jax.device_get(m), sps)
+            if max_steps is not None and total_steps >= max_steps:
+                break
+        if (epoch + 1) % cfg.validation_every == 0:
+            result = _evaluate(trainer, state.params, val_loader, eval_jit)
+            print(f"[epoch {epoch}] val {result}", flush=True)
+        ckpt.save(epoch, jax.device_get(state))
+        if max_steps is not None and total_steps >= max_steps:
+            break
+    ckpt.wait()
+    ckpt.close()
+    return result
+
+
+def run_cyclegan(cfg: Config, *, max_steps: int | None = None) -> dict:
+    """Config-2/3/4 path: the full semi-supervised system (SURVEY.md §3a)."""
+    num_classes, in_ch = _dataset_spec(cfg)
+    train_ds = make_dataset(cfg.dataset, cfg.data_root, split="train",
+                            size=cfg.dataset_size)
+    lab_ds, unlab_ds = split_labeled(train_ds, cfg.labeled_fraction, cfg.seed)
+    val_ds = make_dataset(cfg.dataset, cfg.data_root, split="val")
+    lab_loader = Loader(lab_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
+                        train=True, seed=cfg.seed)
+    unlab_loader = Loader(unlab_ds, batch_size=cfg.batch_size,
+                          crop_hw=cfg.crop_hw, train=True, seed=cfg.seed + 1)
+    val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
+                        train=False, drop_last=False)
+    spe = unlab_loader.steps_per_epoch()
+    trainer = CycleGANTrainer(cfg, num_classes, in_ch, spe)
+
+    mesh = make_mesh(cfg.num_devices)
+    state = replicate_state(trainer.init_state(jax.random.PRNGKey(cfg.seed)), mesh)
+    step_jit = jit_step(trainer.train_step)
+    eval_jit = jax.jit(trainer.eval_step)
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    start_epoch = 0
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state, start_epoch = restored
+        print(f"resumed from epoch {start_epoch - 1}", flush=True)
+
+    result: dict = {}
+    total_steps = 0
+    for epoch in range(start_epoch, cfg.epochs):
+        t0, n = time.perf_counter(), 0
+        for lab_batch, unlab_batch in paired_iterator(lab_loader, unlab_loader, epoch):
+            batch = {
+                "lab_image": lab_batch["image"],
+                "lab_label": lab_batch["label"],
+                "unlab_image": unlab_batch["image"],
+            }
+            state, m = step_jit(state, shard_batch(batch, mesh))
+            n += 1
+            total_steps += 1
+            if n % cfg.log_every == 0:
+                sps = n / (time.perf_counter() - t0)
+                _log(total_steps, epoch, jax.device_get(m), sps)
+            if max_steps is not None and total_steps >= max_steps:
+                break
+        if (epoch + 1) % cfg.validation_every == 0:
+            result = _evaluate(trainer, state.g_i2l, val_loader, eval_jit)
+            print(f"[epoch {epoch}] val {result}", flush=True)
+            _dump_samples(cfg, trainer, state, val_loader, epoch)
+        ckpt.save(epoch, jax.device_get(state))
+        if max_steps is not None and total_steps >= max_steps:
+            break
+    ckpt.wait()
+    ckpt.close()
+    return result
+
+
+def _dump_samples(cfg: Config, trainer: CycleGANTrainer, state, val_loader: Loader,
+                  epoch: int, n: int = 4) -> None:
+    """Sample-image dumps (SURVEY.md §3a "sample-image dump")."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    os.makedirs(cfg.results_dir, exist_ok=True)
+    batch = next(iter(val_loader.epoch(0)))
+    pred = np.asarray(trainer.predict(state.g_i2l, batch["image"][:n]))
+    for i in range(min(n, pred.shape[0])):
+        rgb = decode_colormap(pred[i].astype(np.uint8))
+        Image.fromarray(rgb).save(
+            os.path.join(cfg.results_dir, f"epoch{epoch}_sample{i}_pred.png"))
+
+
+def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
+    """Inference path (SURVEY.md §3c): load checkpoint, predict val split,
+    colorize PNGs into results_dir, report mIoU/pixel-acc."""
+    num_classes, in_ch = _dataset_spec(cfg)
+    val_ds = make_dataset(cfg.dataset, cfg.data_root, split="val")
+    val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
+                        train=False, drop_last=False)
+    cls = CycleGANTrainer if semisupervised else SupervisedTrainer
+    trainer = cls(cfg, num_classes, in_ch, steps_per_epoch=1)
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    restored = ckpt.restore(template)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint in {cfg.checkpoint_dir}")
+    state, _ = restored
+    params = state.g_i2l if semisupervised else state.params
+    eval_jit = jax.jit(trainer.eval_step)
+    predict_jit = jax.jit(trainer.predict)
+
+    os.makedirs(cfg.results_dir, exist_ok=True)
+    from PIL import Image
+    hist = None
+    idx = 0
+    for batch in val_loader.epoch(0):
+        pred = np.asarray(predict_jit(params, batch["image"]))
+        for i in range(pred.shape[0]):
+            Image.fromarray(decode_colormap(pred[i].astype(np.uint8))).save(
+                os.path.join(cfg.results_dir, f"pred_{idx:05d}.png"))
+            idx += 1
+        if "label" in batch:
+            h = eval_jit(params, batch)
+            hist = h if hist is None else hist + h
+    ckpt.close()
+    out = {}
+    if hist is not None:
+        out = {k: float(v) for k, v in metrics_lib.scores(hist).items()
+               if np.ndim(v) == 0}
+        print(f"test scores: {out}", flush=True)
+    return out

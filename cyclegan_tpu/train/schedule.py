@@ -17,7 +17,9 @@ def lambda_lr_factor(epoch, *, epochs: int, offset: int, decay_epoch: int):
     """The reference's per-epoch multiplicative LR factor (jit-safe)."""
     e = jnp.asarray(epoch, jnp.float32)
     num = jnp.maximum(0.0, e + offset - decay_epoch)
-    return 1.0 - num / float(epochs - decay_epoch)
+    # Guard epochs == decay_epoch (no decay window -> constant LR).
+    denom = max(epochs - decay_epoch, 1)
+    return 1.0 - num / float(denom)
 
 
 def make_lambda_lr(

@@ -1,0 +1,83 @@
+"""Supervised segmentation trainer (reference ``supervised_model`` —
+SURVEY.md §2/§3d): one generator as the seg net, pixel CE loss, Adam with the
+LambdaLR decay, per-epoch validation (mIoU / pixel-acc), checkpoint/resume.
+
+The whole G update is one jitted, donated step; evaluation accumulates a
+jitted confusion matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cyclegan_tpu.models import define_Gen
+from cyclegan_tpu.train import losses, metrics, schedule
+from cyclegan_tpu.utils.config import Config
+
+
+class SupervisedState(NamedTuple):
+    params: Any
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+class SupervisedTrainer:
+    """Owns module + optimizer defs; all state flows functionally."""
+
+    def __init__(self, cfg: Config, num_classes: int, in_channels: int,
+                 steps_per_epoch: int):
+        self.cfg = cfg
+        self.num_classes = num_classes
+        self.in_channels = in_channels
+        dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+        self.model = define_Gen(
+            output_nc=num_classes, ngf=cfg.ngf, netG=cfg.gen_net, norm=cfg.norm,
+            use_dropout=cfg.use_dropout, head="none", dtype=dtype)
+        self.tx = schedule.make_adam(
+            schedule.make_lambda_lr(
+                cfg.lr, epochs=cfg.epochs, decay_epoch=cfg.decay_epoch,
+                steps_per_epoch=steps_per_epoch))
+        self.ignore_index = 255
+
+    def init_state(self, rng: jax.Array) -> SupervisedState:
+        dummy = jnp.zeros(
+            (1, self.cfg.crop_height, self.cfg.crop_width, self.in_channels),
+            jnp.float32)
+        params = self.model.init(rng, dummy)
+        return SupervisedState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def train_step(self, state: SupervisedState, batch: dict
+                   ) -> tuple[SupervisedState, dict]:
+        """(state, batch) -> (state, metrics); jit/donate me."""
+
+        def loss_fn(params):
+            logits = self.model.apply(params, batch["image"])
+            return losses.cross_entropy_loss(
+                logits, batch["label"], ignore_index=self.ignore_index)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            SupervisedState(params, opt_state, state.step + 1),
+            {"ce_loss": loss},
+        )
+
+    def eval_step(self, params: Any, batch: dict) -> jax.Array:
+        """Confusion-matrix contribution of one batch; jit me."""
+        logits = self.model.apply(params, batch["image"])
+        pred = jnp.argmax(logits, axis=-1)
+        return metrics.confusion_matrix(
+            pred, batch["label"], self.num_classes,
+            ignore_index=self.ignore_index)
+
+    def predict(self, params: Any, image: jax.Array) -> jax.Array:
+        return jnp.argmax(self.model.apply(params, image), axis=-1)

@@ -1,0 +1,97 @@
+"""Typed config + the 5 benchmark presets (SURVEY.md §5 "Config / flag system").
+
+Flag names mirror the reference's argparse surface where cheap (epochs,
+decay_epoch, batch_size, lr, lamda, crop_height/width, ngf/ndf, gen_net,
+dis_net, norm, dataset, checkpoint_dir, results_dir). Values marked
+"[assumed]" are reference defaults recalled from [M]/[P] provenance (the
+mount was empty — SURVEY.md §0); they are config values, trivially fixable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Config:
+    # model
+    gen_net: str = "resnet_9blocks"
+    dis_net: str = "n_layers"
+    n_layers_D: int = 3
+    ngf: int = 64
+    ndf: int = 64
+    norm: str = "instance"
+    use_dropout: bool = False
+
+    # optimization (reference defaults [assumed]: lr 2e-4, betas (0.5, 0.999),
+    # lamda 10, epochs 200 w/ decay at 100, pool size 50)
+    epochs: int = 200
+    decay_epoch: int = 100
+    batch_size: int = 1
+    lr: float = 2e-4
+    lamda: float = 10.0          # cycle-consistency weight (reference flag name)
+    pool_size: int = 50
+    labeled_fraction: float = 0.125
+
+    # data
+    dataset: str = "voc2012"
+    data_root: str | None = None
+    crop_height: int = 256
+    crop_width: int = 256
+    dataset_size: int | None = None   # subset (e.g. 100-image VOC config 1)
+
+    # precision / parallelism
+    bf16: bool = True                  # bf16 compute, fp32 params
+    num_devices: int | None = None     # None = all visible
+
+    # io
+    checkpoint_dir: str = "./checkpoints"
+    results_dir: str = "./results"
+    validation_every: int = 1          # epochs
+    log_every: int = 20                # steps
+
+    seed: int = 0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def crop_hw(self) -> tuple[int, int]:
+        return (self.crop_height, self.crop_width)
+
+
+# The five benchmark configs from BASELINE.json.
+PRESETS: dict[str, Config] = {
+    # 1. VOC2012 100-image subset, 128x128, supervised-only CE, ResNet-6, batch 2
+    "voc_supervised_128": Config(
+        gen_net="resnet_6blocks", dataset="voc2012", dataset_size=100,
+        crop_height=128, crop_width=128, batch_size=2, epochs=100, decay_epoch=50,
+    ),
+    # 2. VOC2012 256x256 full semi-sup CycleGAN, ResNet-9 + PatchGAN, 1/8 labeled
+    "voc_semisup_256": Config(
+        gen_net="resnet_9blocks", dataset="voc2012",
+        crop_height=256, crop_width=256, labeled_fraction=0.125,
+    ),
+    # 3. Cityscapes 512x256 semi-sup with pool replay + LR-lambda decay
+    "cityscapes_semisup_512x256": Config(
+        gen_net="resnet_9blocks", dataset="cityscapes",
+        crop_height=256, crop_width=512,
+    ),
+    # 4. ACDC cardiac MRI, 1-channel, 4-class
+    "acdc_semisup": Config(
+        gen_net="resnet_9blocks", dataset="acdc",
+        crop_height=256, crop_width=256,
+    ),
+    # 5. VOC2012 DP on v5e-8, global batch 64, bf16
+    "voc_dp8_bf16": Config(
+        gen_net="resnet_9blocks", dataset="voc2012",
+        crop_height=256, crop_width=256, batch_size=64, bf16=True, num_devices=8,
+    ),
+}
+
+
+def preset(name: str) -> Config:
+    if name not in PRESETS:
+        raise ValueError(f"unknown preset {name!r} (have {sorted(PRESETS)})")
+    return PRESETS[name]

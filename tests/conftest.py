@@ -1,18 +1,14 @@
 """Test config: run everything on CPU with 8 virtual devices.
 
-Must set env vars before jax imports (SURVEY.md §4 "multi-device without a
-cluster"). Parity tests use torch-CPU as the oracle.
+NOTE: in this environment an `axon` sitecustomize force-sets
+``jax_platforms=axon,cpu`` (the tunneled TPU), overriding the JAX_PLATFORMS
+env var — so platform selection must go through jax.config *after* import,
+*before* backend init. Parity tests use torch-CPU as the oracle
+(SURVEY.md §4 "multi-device without a cluster").
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")

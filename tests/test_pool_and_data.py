@@ -1,0 +1,127 @@
+"""Image-pool distribution test + data pipeline tests (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cyclegan_tpu.data import palette
+from cyclegan_tpu.data.datasets import make_dataset, split_labeled
+from cyclegan_tpu.data.loader import Loader, paired_iterator
+from cyclegan_tpu.data import transforms
+from cyclegan_tpu.train.pool import init_pool, pool_query
+
+
+class TestPool:
+    def test_fills_then_swaps(self):
+        pool = init_pool(4, (2, 2, 1))
+        rng = jax.random.PRNGKey(0)
+        # While filling, every query returns the new item.
+        for i in range(4):
+            item = jnp.full((1, 2, 2, 1), float(i))
+            rng, k = jax.random.split(rng)
+            pool, out = pool_query(pool, item, k)
+            assert float(out[0, 0, 0, 0]) == float(i)
+        assert int(pool.count) == 4
+
+    def test_swap_distribution(self):
+        """Once full: ~50% of queries return a stored (old) image."""
+        pool = init_pool(8, (1, 1, 1))
+        rng = jax.random.PRNGKey(1)
+        for i in range(8):
+            rng, k = jax.random.split(rng)
+            pool, _ = pool_query(pool, jnp.full((1, 1, 1, 1), -1.0), k)
+        n_old = 0
+        trials = 400
+        query = jax.jit(pool_query)
+        for i in range(trials):
+            rng, k = jax.random.split(rng)
+            pool, out = query(pool, jnp.full((1, 1, 1, 1), float(i)), k)
+            if float(out[0, 0, 0, 0]) != float(i):
+                n_old += 1
+        assert 0.38 < n_old / trials < 0.62  # p=0.5 swap
+
+    def test_batch_sequential_semantics(self):
+        """Items within a batch see each other's pool updates (scan order)."""
+        pool = init_pool(1, (1, 1, 1))
+        items = jnp.arange(3, dtype=jnp.float32).reshape(3, 1, 1, 1)
+        pool, outs = pool_query(pool, items, jax.random.PRNGKey(2))
+        # First item fills the pool and is returned as-is.
+        assert float(outs[0, 0, 0, 0]) == 0.0
+
+
+class TestPalette:
+    def test_roundtrip(self):
+        labels = np.random.default_rng(0).integers(0, 21, (16, 16)).astype(np.uint8)
+        rgb = palette.decode_colormap(labels)
+        back = palette.encode_colormap(rgb)
+        np.testing.assert_array_equal(back, labels)
+
+    def test_void_color(self):
+        rgb = np.full((4, 4, 3), 11, np.uint8)  # not a palette color
+        assert (palette.encode_colormap(rgb) == 255).all()
+
+    def test_one_hot_shapes_and_ignore(self):
+        labels = np.array([[0, 1], [255, 20]])
+        oh = palette.one_hot(labels, 21)
+        assert oh.shape == (2, 2, 21)
+        assert oh[1, 0].sum() == 0  # ignored pixel all-zero
+        assert oh[0, 1, 1] == 1 and oh[1, 1, 20] == 1
+
+
+class TestTransforms:
+    def test_deterministic_under_seed(self):
+        img = np.random.default_rng(1).integers(0, 255, (40, 60, 3)).astype(np.uint8)
+        lab = np.random.default_rng(2).integers(0, 21, (40, 60)).astype(np.uint8)
+        a = transforms.train_transform(img, lab, crop_hw=(32, 32),
+                                       rng=np.random.default_rng(7))
+        b = transforms.train_transform(img, lab, crop_hw=(32, 32),
+                                       rng=np.random.default_rng(7))
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+    def test_fixed_output_shape_small_input(self):
+        img = np.zeros((20, 25, 3), np.uint8)
+        lab = np.zeros((20, 25), np.uint8)
+        out_img, out_lab = transforms.train_transform(
+            img, lab, crop_hw=(64, 64), rng=np.random.default_rng(0))
+        assert out_img.shape == (64, 64, 3) and out_lab.shape == (64, 64)
+
+    def test_normalize_range(self):
+        img = np.array([[[0, 128, 255]]], np.uint8)
+        out = transforms.normalize(img)
+        assert out.min() >= -1.0 and out.max() <= 1.0
+        assert abs(out[0, 0, 0] + 1.0) < 1e-6 and abs(out[0, 0, 2] - 1.0) < 1e-6
+
+
+class TestDatasets:
+    def test_synthetic_loader_shapes(self):
+        ds = make_dataset("synthetic", size=8)
+        loader = Loader(ds, batch_size=4, crop_hw=(64, 64), train=True, seed=0)
+        batch = next(iter(loader.epoch(0)))
+        assert batch["image"].shape == (4, 64, 64, 3)
+        assert batch["label"].shape == (4, 64, 64)
+        assert batch["image"].dtype == np.float32
+        assert batch["label"].dtype == np.int32
+
+    def test_split_labeled_fraction(self):
+        ds = make_dataset("synthetic", size=32)
+        lab, unlab = split_labeled(ds, 0.25, seed=0)
+        assert len(lab) == 8 and len(unlab) == 24
+        # Deterministic under the same seed
+        lab2, _ = split_labeled(ds, 0.25, seed=0)
+        assert list(lab.items) == list(lab2.items)
+
+    def test_paired_iterator_cycles_labeled(self):
+        ds = make_dataset("synthetic", size=16)
+        lab_ds, unlab_ds = split_labeled(ds, 0.125, seed=0)  # 2 labeled
+        lab_l = Loader(lab_ds, batch_size=2, crop_hw=(32, 32), seed=0)
+        unlab_l = Loader(unlab_ds, batch_size=2, crop_hw=(32, 32), seed=1)
+        pairs = list(paired_iterator(lab_l, unlab_l, epoch=0))
+        assert len(pairs) == unlab_l.steps_per_epoch()
+        for lab_b, unlab_b in pairs:
+            assert lab_b["image"].shape == unlab_b["image"].shape
+
+    def test_grayscale_synthetic(self):
+        ds = make_dataset("synthetic_gray", size=4)
+        img, lab = ds.get(0)
+        assert img.shape[-1] == 1 and lab.max() < 4

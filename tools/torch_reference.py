@@ -1,0 +1,157 @@
+"""Reference-semantics torch-CPU training step (BASELINE.md measurement
+protocol, step 1).
+
+This is OUR re-derivation of the reference's semantics (SURVEY.md §3a) in
+torch — used as (a) the throughput denominator for the >=8x/chip target and
+(b) a numerical parity oracle in tests. It is written from the SURVEY.md
+behavioral spec, not copied from the (empty) reference mount.
+
+Run: python tools/torch_reference.py --steps 3 --size 256
+Prints one JSON line: {"torch_cpu_steps_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import time
+
+import torch
+import torch.nn as nn
+
+
+def conv_in_relu(i, o, k, s, p, reflect=False):
+    layers = []
+    if reflect:
+        layers.append(nn.ReflectionPad2d(p))
+        p = 0
+    layers += [nn.Conv2d(i, o, k, s, p), nn.InstanceNorm2d(o), nn.ReLU(True)]
+    return layers
+
+
+class ResBlock(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.ReflectionPad2d(1), nn.Conv2d(c, c, 3), nn.InstanceNorm2d(c),
+            nn.ReLU(True),
+            nn.ReflectionPad2d(1), nn.Conv2d(c, c, 3), nn.InstanceNorm2d(c))
+
+    def forward(self, x):
+        return x + self.block(x)
+
+
+class ResnetG(nn.Module):
+    def __init__(self, in_nc, out_nc, ngf=64, n_blocks=9, tanh=True):
+        super().__init__()
+        layers = conv_in_relu(in_nc, ngf, 7, 1, 3, reflect=True)
+        layers += conv_in_relu(ngf, ngf * 2, 3, 2, 1)
+        layers += conv_in_relu(ngf * 2, ngf * 4, 3, 2, 1)
+        layers += [ResBlock(ngf * 4) for _ in range(n_blocks)]
+        for c_in, c_out in [(ngf * 4, ngf * 2), (ngf * 2, ngf)]:
+            layers += [nn.ConvTranspose2d(c_in, c_out, 3, 2, 1, output_padding=1),
+                       nn.InstanceNorm2d(c_out), nn.ReLU(True)]
+        layers += [nn.ReflectionPad2d(3), nn.Conv2d(ngf, out_nc, 7)]
+        if tanh:
+            layers.append(nn.Tanh())
+        self.net = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class PatchD(nn.Module):
+    def __init__(self, in_nc, ndf=64, n_layers=3):
+        super().__init__()
+        layers = [nn.Conv2d(in_nc, ndf, 4, 2, 1), nn.LeakyReLU(0.2, True)]
+        nf = ndf
+        for i in range(1, n_layers):
+            nf_new = min(ndf * 2 ** i, ndf * 8)
+            layers += [nn.Conv2d(nf, nf_new, 4, 2, 1), nn.InstanceNorm2d(nf_new),
+                       nn.LeakyReLU(0.2, True)]
+            nf = nf_new
+        nf_new = min(ndf * 2 ** n_layers, ndf * 8)
+        layers += [nn.Conv2d(nf, nf_new, 4, 1, 1), nn.InstanceNorm2d(nf_new),
+                   nn.LeakyReLU(0.2, True), nn.Conv2d(nf_new, 1, 4, 1, 1)]
+        self.net = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.net(x)
+
+
+def build(num_classes=21, in_ch=3, ngf=64, ndf=64, n_blocks=9):
+    G_i2l = ResnetG(in_ch, num_classes, ngf, n_blocks, tanh=False)
+    G_l2i = ResnetG(num_classes, in_ch, ngf, n_blocks, tanh=True)
+    D_img = PatchD(in_ch, ndf)
+    D_lab = PatchD(num_classes, ndf)
+    return G_i2l, G_l2i, D_img, D_lab
+
+
+def train_step(models, opts, batch, lamda=10.0):
+    """One G+D alternating update with the reference's loss structure."""
+    G_i2l, G_l2i, D_img, D_lab = models
+    g_opt, d_opt = opts
+    lab_img, lab_lab, unlab_img, lab_oh = batch
+    mse, l1, ce = nn.MSELoss(), nn.L1Loss(), nn.CrossEntropyLoss(ignore_index=255)
+
+    # G step (D frozen)
+    for p in itertools.chain(D_img.parameters(), D_lab.parameters()):
+        p.requires_grad_(False)
+    g_opt.zero_grad()
+    fake_lab = torch.softmax(G_i2l(unlab_img), 1)
+    fake_img = G_l2i(lab_oh)
+    adv = mse(D_lab(fake_lab), torch.ones_like(D_lab(fake_lab))) + \
+          mse(D_img(fake_img), torch.ones_like(D_img(fake_img)))
+    cyc_img = l1(G_l2i(fake_lab), unlab_img) * lamda
+    cyc_lab = ce(G_i2l(fake_img), lab_lab) * lamda
+    sup = ce(G_i2l(lab_img), lab_lab)
+    (adv + cyc_img + cyc_lab + sup).backward()
+    g_opt.step()
+    for p in itertools.chain(D_img.parameters(), D_lab.parameters()):
+        p.requires_grad_(True)
+
+    # D step (no pool here — pool adds host work in the reference; omitting it
+    # makes this baseline *faster*, i.e. conservative for the >=8x target)
+    d_opt.zero_grad()
+    fl, fi = fake_lab.detach(), fake_img.detach()
+    d_loss = 0.5 * (mse(D_img(unlab_img), torch.ones_like(D_img(unlab_img)))
+                    + mse(D_img(fi), torch.zeros_like(D_img(fi)))) + \
+             0.5 * (mse(D_lab(lab_oh), torch.ones_like(D_lab(lab_oh)))
+                    + mse(D_lab(fl), torch.zeros_like(D_lab(fl))))
+    d_loss.backward()
+    d_opt.step()
+
+
+def measure(size=256, batch=1, steps=3, warmup=1, num_classes=21):
+    torch.manual_seed(0)
+    models = build(num_classes)
+    params_g = itertools.chain(models[0].parameters(), models[1].parameters())
+    params_d = itertools.chain(models[2].parameters(), models[3].parameters())
+    opts = (torch.optim.Adam(params_g, 2e-4, betas=(0.5, 0.999)),
+            torch.optim.Adam(params_d, 2e-4, betas=(0.5, 0.999)))
+    lab_lab = torch.randint(0, num_classes, (batch, size, size))
+    batch_t = (
+        torch.randn(batch, 3, size, size),
+        lab_lab,
+        torch.randn(batch, 3, size, size),
+        torch.nn.functional.one_hot(lab_lab, num_classes).permute(0, 3, 1, 2).float(),
+    )
+    for _ in range(warmup):
+        train_step(models, opts, batch_t)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        train_step(models, opts, batch_t)
+    dt = time.perf_counter() - t0
+    return steps / dt
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=3)
+    args = ap.parse_args()
+    sps = measure(args.size, args.batch, args.steps)
+    print(json.dumps({"torch_cpu_steps_per_sec": sps, "size": args.size,
+                      "batch": args.batch}))
