@@ -57,11 +57,14 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int) -> float:
     )
     for _ in range(warmup):
         state, m = step(state, batch_d)
-    jax.block_until_ready(m)
+    jax.device_get(m)  # materialize (don't trust block_until_ready over the tunnel)
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step(state, batch_d)
-    jax.block_until_ready(m)
+    # Steps chain through the donated state; fetching the last metrics (and a
+    # param leaf) forces the whole chain to have executed.
+    jax.device_get(m)
+    jax.device_get(jax.tree.leaves(state.g_i2l)[0])
     return steps / (time.perf_counter() - t0)
 
 

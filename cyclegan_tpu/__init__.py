@@ -18,3 +18,17 @@ re-derivation in tests/.)
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: first compile of the fused G+D train step
+# is slow (minutes over the axon TPU tunnel); subsequent runs hit disk.
+# Disable with CYCLEGAN_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("CYCLEGAN_TPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("CYCLEGAN_TPU_COMPILE_CACHE",
+                        _os.path.expanduser("~/.cache/cyclegan_tpu_xla")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

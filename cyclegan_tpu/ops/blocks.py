@@ -11,6 +11,7 @@ cyclegan_tpu/train/cyclegan.py.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -21,6 +22,34 @@ from cyclegan_tpu.ops import functional as F
 from cyclegan_tpu.ops.init import conv_kernel_init
 
 Dtype = Any
+
+
+def _pallas_mode() -> str:
+    """auto (Pallas on TPU, XLA elsewhere) | interpret (CI) | off."""
+    return os.environ.get("CYCLEGAN_TPU_PALLAS", "auto")
+
+
+def fused_norm_act(x: jax.Array, norm: str, act: str,
+                   skip: jax.Array | None = None) -> jax.Array | None:
+    """Try the fused Pallas instance-norm(+act)(+skip) kernel.
+
+    Returns None when not applicable (non-instance norm, kernel disabled,
+    wrong backend, or shape too large for VMEM tiling) — caller falls back to
+    the unfused XLA path.
+    """
+    if norm != "instance":
+        return None
+    mode = _pallas_mode()
+    if mode == "off":
+        return None
+    interpret = mode == "interpret"
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    from cyclegan_tpu.kernels.instance_norm import (
+        instance_norm_act, supported_shape)
+    if not supported_shape(x.shape, x.dtype.itemsize):
+        return None
+    return instance_norm_act(x, skip, 1e-5, act, interpret)
 
 
 class InstanceNorm(nn.Module):
@@ -98,7 +127,9 @@ class ConvBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, skip: jax.Array | None = None) -> jax.Array:
+        """``skip`` is added after norm+act (fused into the Pallas kernel on
+        TPU — the ResidualBlock tail)."""
         w = self.param(
             "kernel",
             conv_kernel_init(0.02),
@@ -110,6 +141,10 @@ class ConvBlock(nn.Module):
             x = F.conv2d(x, w, b, stride=self.stride, padding=0, compute_dtype=self.dtype)
         else:
             x = F.conv2d(x, w, b, stride=self.stride, padding=self.pad, compute_dtype=self.dtype)
+        skip = skip.astype(x.dtype) if skip is not None else None
+        fused = fused_norm_act(x, self.norm, self.act, skip=skip)
+        if fused is not None:
+            return fused
         norm_layer = get_norm(self.norm)()
         if norm_layer is not None:
             x = norm_layer(x)
@@ -117,7 +152,7 @@ class ConvBlock(nn.Module):
             x = jax.nn.relu(x)
         elif self.act == "leaky":
             x = F.leaky_relu(x, 0.2)
-        return x
+        return x if skip is None else x + skip
 
 
 class DeconvBlock(nn.Module):
@@ -154,6 +189,9 @@ class DeconvBlock(nn.Module):
             output_padding=self.output_padding,
             compute_dtype=self.dtype,
         )
+        fused = fused_norm_act(x, self.norm, self.act)
+        if fused is not None:
+            return fused
         norm_layer = get_norm(self.norm)()
         if norm_layer is not None:
             x = norm_layer(x)
@@ -183,8 +221,7 @@ class ResidualBlock(nn.Module):
         )(x)
         if self.use_dropout:
             h = nn.Dropout(rate=0.5, deterministic=deterministic)(h)
-        h = ConvBlock(
+        return ConvBlock(
             self.features, kernel=3, pad=1, pad_mode="reflect", norm=self.norm,
             act="none", dtype=self.dtype,
-        )(h)
-        return x + h
+        )(h, skip=x)

@@ -18,15 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent XLA compilation cache: first compile of the big GAN step is slow
-# (SURVEY.md notes ~20-40s on TPU, minutes on CPU); subsequent runs hit disk.
-if not os.environ.get("CYCLEGAN_TPU_NO_COMPILE_CACHE"):
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("CYCLEGAN_TPU_COMPILE_CACHE",
-                       os.path.expanduser("~/.cache/cyclegan_tpu_xla")))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
 from cyclegan_tpu.data.datasets import DATASET_SPECS, make_dataset, split_labeled
 from cyclegan_tpu.data.loader import Loader, paired_iterator
 from cyclegan_tpu.data.palette import decode_colormap
