@@ -145,11 +145,17 @@ class CycleGANTrainer:
         g_i2l, g_l2i = optax.apply_updates((state.g_i2l, state.g_l2i), g_updates)
 
         # Pool phase: detached fakes through the replay buffers.
+        # pool_size=0 bypasses replay (fresh fakes go straight to D) — used by
+        # deterministic parity tests; the reference default is 50.
         rng, k_img, k_lab = jax.random.split(state.rng, 3)
         fake_img = jax.lax.stop_gradient(aux.pop("fake_img"))
         fake_lab = jax.lax.stop_gradient(aux.pop("fake_lab"))
-        pool_img, pooled_fake_img = pool_query(state.pool_img, fake_img, k_img)
-        pool_lab, pooled_fake_lab = pool_query(state.pool_lab, fake_lab, k_lab)
+        if self.cfg.pool_size > 0:
+            pool_img, pooled_fake_img = pool_query(state.pool_img, fake_img, k_img)
+            pool_lab, pooled_fake_lab = pool_query(state.pool_lab, fake_lab, k_lab)
+        else:
+            pool_img, pooled_fake_img = state.pool_img, fake_img
+            pool_lab, pooled_fake_lab = state.pool_lab, fake_lab
 
         def d_loss_fn(d_params):
             d_img_p, d_lab_p = d_params

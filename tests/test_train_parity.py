@@ -1,0 +1,106 @@
+"""Multi-step training-loop parity vs torch (SURVEY.md §4 "Integration" /
+the [B] 'match the reference bit-for-bit on fixed seeds' requirement):
+identical weights + identical pre-materialized batches through BOTH full
+semi-sup CycleGAN train loops (jax jitted step vs torch-CPU reference
+semantics), comparing per-step losses and final params.
+
+Pool replay is bypassed on both sides (pool_size=0 / no pool in the torch
+step) so the trajectories are RNG-free and deterministic.
+"""
+
+import itertools
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from parity_utils import inject_patchgan, inject_resnet_gen  # noqa: E402
+
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer  # noqa: E402
+from cyclegan_tpu.utils.config import Config  # noqa: E402
+from tools.torch_reference import PatchD, ResnetG, train_step as torch_step  # noqa: E402
+
+N_CLASSES, SIZE, NGF, NDF, NB = 5, 32, 8, 8, 2
+STEPS = 3
+
+
+def build_torch():
+    torch.manual_seed(0)
+    G_i2l = ResnetG(3, N_CLASSES, NGF, NB, tanh=False)
+    G_l2i = ResnetG(N_CLASSES, 3, NGF, NB, tanh=True)
+    D_img = PatchD(3, NDF)
+    D_lab = PatchD(N_CLASSES, NDF)
+    return G_i2l, G_l2i, D_img, D_lab
+
+
+def test_three_step_cyclegan_parity():
+    cfg = Config(gen_net="resnet_6blocks", ngf=NGF, ndf=NDF, bf16=False,
+                 crop_height=SIZE, crop_width=SIZE, batch_size=1,
+                 pool_size=0, epochs=200, decay_epoch=100, lamda=10.0)
+    trainer = CycleGANTrainer(cfg, N_CLASSES, 3, steps_per_epoch=1000)
+    # Shrink the generators to NB res-blocks to keep the test fast.
+    trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
+    trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
+
+    tmodels = build_torch()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = state._replace(
+        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
+        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
+        d_img=inject_patchgan(state.d_img, tmodels[2]),
+        d_lab=inject_patchgan(state.d_lab, tmodels[3]),
+    )
+    # Re-init optimizer states for the injected params.
+    state = state._replace(
+        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
+        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
+    )
+
+    g = torch.Generator().manual_seed(42)
+    lab_img_t = torch.randn(1, 3, SIZE, SIZE, generator=g)
+    unlab_img_t = torch.randn(1, 3, SIZE, SIZE, generator=g)
+    lab_lab_t = torch.randint(0, N_CLASSES, (1, SIZE, SIZE), generator=g)
+    lab_oh_t = torch.nn.functional.one_hot(lab_lab_t, N_CLASSES) \
+        .permute(0, 3, 1, 2).float()
+
+    t_opts = (
+        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
+                                         tmodels[1].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
+                                         tmodels[3].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+    )
+
+    batch = {
+        "lab_image": jnp.asarray(lab_img_t.numpy().transpose(0, 2, 3, 1)),
+        "lab_label": jnp.asarray(lab_lab_t.numpy()).astype(jnp.int32),
+        "unlab_image": jnp.asarray(unlab_img_t.numpy().transpose(0, 2, 3, 1)),
+    }
+    step_jit = jax.jit(trainer.train_step, donate_argnums=0)
+
+    for s in range(STEPS):
+        state, m = step_jit(state, batch)
+        torch_step(tmodels, t_opts,
+                   (lab_img_t, lab_lab_t, unlab_img_t, lab_oh_t))
+
+    # Compare a forward pass of the trained G_i2l on the labeled image.
+    with torch.no_grad():
+        ref_logits = tmodels[0](lab_img_t).numpy()
+    got_logits = np.asarray(
+        trainer.G_i2l.apply(state.g_i2l, batch["lab_image"])
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got_logits, ref_logits, atol=2e-3)
+
+    # And the discriminator on the real image.
+    with torch.no_grad():
+        ref_d = tmodels[2](unlab_img_t).numpy()
+    got_d = np.asarray(
+        trainer.D_img.apply(state.d_img, batch["unlab_image"])
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got_d, ref_d, atol=2e-3)
