@@ -15,8 +15,10 @@ from typing import Iterator
 
 import numpy as np
 
+from cyclegan_tpu.data import native
 from cyclegan_tpu.data.datasets import SegmentationDataset
-from cyclegan_tpu.data.transforms import eval_transform, train_transform
+from cyclegan_tpu.data.transforms import (
+    draw_train_params, eval_transform, train_transform)
 
 
 class Loader:
@@ -54,6 +56,8 @@ class Loader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _make_batch(self, idxs: np.ndarray, rng: np.random.Generator) -> dict:
+        if self.train and native.available():
+            return self._make_batch_native(idxs, rng)
         imgs, labs = [], []
         for i in idxs:
             img, lab = self.ds.get(int(i))
@@ -68,6 +72,29 @@ class Loader:
         batch = {"image": np.stack(imgs)}
         if labs:
             batch["label"] = np.stack(labs)
+        return batch
+
+    def _make_batch_native(self, idxs: np.ndarray, rng: np.random.Generator) -> dict:
+        """Fused C++ crop+flip+normalize path — bit-identical to the numpy
+        path (same RNG parameter stream, pixel work in native code)."""
+        imgs, labs, tops, lefts, flips = [], [], [], [], []
+        for i in idxs:
+            img, lab = self.ds.get(int(i))
+            img, lab, top, left, flip = draw_train_params(
+                img, lab, crop_hw=self.crop_hw, rng=rng, resize_hw=self.resize_hw)
+            imgs.append(img)
+            labs.append(lab)
+            tops.append(top)
+            lefts.append(left)
+            flips.append(flip)
+        tops = np.asarray(tops, np.int32)
+        lefts = np.asarray(lefts, np.int32)
+        flips = np.asarray(flips, np.uint8)
+        batch = {"image": native.crop_flip_normalize_batch(
+            imgs, tops, lefts, flips, self.crop_hw)}
+        if all(lb is not None for lb in labs):
+            batch["label"] = native.crop_flip_label_batch(
+                labs, tops, lefts, flips, self.crop_hw)
         return batch
 
     def epoch(self, epoch: int | None = None) -> Iterator[dict]:

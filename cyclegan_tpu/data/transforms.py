@@ -62,6 +62,36 @@ def normalize(img: np.ndarray) -> np.ndarray:
     return img.astype(np.float32) / 127.5 - 1.0
 
 
+def draw_train_params(
+    img: np.ndarray,
+    lab: np.ndarray | None,
+    *,
+    crop_hw: tuple[int, int],
+    rng: np.random.Generator,
+    resize_hw: tuple[int, int] | None = None,
+    flip_p: float = 0.5,
+):
+    """Resize (if needed) and draw the crop/flip parameters.
+
+    The RNG draw order (crop top, crop left, flip) is the contract shared by
+    the numpy and native pixel paths — both produce bit-identical batches for
+    the same generator state.
+    """
+    if resize_hw is not None:
+        img, lab = resize_pair(img, lab, resize_hw)
+    ch, cw = crop_hw
+    h, w = img.shape[:2]
+    if h < ch or w < cw:
+        scale = max(ch / h, cw / w)
+        img, lab = resize_pair(img, lab, (max(ch, int(round(h * scale))),
+                                          max(cw, int(round(w * scale)))))
+        h, w = img.shape[:2]
+    top = int(rng.integers(0, h - ch + 1))
+    left = int(rng.integers(0, w - cw + 1))
+    flip = rng.random() < flip_p
+    return img, lab, top, left, flip
+
+
 def train_transform(
     img: np.ndarray,
     lab: np.ndarray | None,
@@ -70,11 +100,15 @@ def train_transform(
     rng: np.random.Generator,
     resize_hw: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None]:
-    """resize -> random crop -> random flip -> normalize."""
-    if resize_hw is not None:
-        img, lab = resize_pair(img, lab, resize_hw)
-    img, lab = random_crop_pair(img, lab, crop_hw, rng)
-    img, lab = random_hflip_pair(img, lab, rng)
+    """resize -> random crop -> random flip -> normalize (numpy path)."""
+    img, lab, top, left, flip = draw_train_params(
+        img, lab, crop_hw=crop_hw, rng=rng, resize_hw=resize_hw)
+    ch, cw = crop_hw
+    img = img[top:top + ch, left:left + cw]
+    lab = lab[top:top + ch, left:left + cw] if lab is not None else None
+    if flip:
+        img = img[:, ::-1]
+        lab = lab[:, ::-1] if lab is not None else None
     img = normalize(np.ascontiguousarray(img))
     lab = np.ascontiguousarray(lab) if lab is not None else None
     return img, lab

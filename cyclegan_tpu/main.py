@@ -33,6 +33,9 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="one of the benchmark presets (see utils.config.PRESETS)")
     p.add_argument("--max_steps", type=int, default=None,
                    help="stop after N optimizer steps (smoke runs)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu, tpu) — needed because "
+                        "this environment's sitecustomize overrides JAX_PLATFORMS")
     defaults = Config()
     for f in dataclasses.fields(Config):
         if f.name in ("bf16",):
@@ -42,7 +45,7 @@ def get_args(argv=None) -> argparse.Namespace:
         arg_type = {int: int, float: float, str: str}.get(
             f.type if isinstance(f.type, type) else type(getattr(defaults, f.name)))
         if arg_type is None and getattr(defaults, f.name) is None:
-            arg_type = str if f.name == "data_root" else int
+            arg_type = str if f.name in ("data_root", "profile_dir") else int
         if isinstance(getattr(defaults, f.name), bool):
             p.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true"),
                            default=None)
@@ -64,6 +67,10 @@ def build_config(args: argparse.Namespace) -> Config:
 def main(argv=None) -> None:
     args = get_args(argv)
     cfg = build_config(args)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from cyclegan_tpu.train import runner  # deferred: jax init is slow
 
     if args.testing:

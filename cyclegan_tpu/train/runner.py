@@ -28,13 +28,8 @@ from cyclegan_tpu.train.checkpoint import CheckpointManager
 from cyclegan_tpu.train.cyclegan import CycleGANTrainer
 from cyclegan_tpu.train.supervised import SupervisedTrainer
 from cyclegan_tpu.utils.config import Config
-
-
-def _log(step: int, epoch: int, metrics: dict, sps: float) -> None:
-    parts = " ".join(
-        f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
-        if np.ndim(v) == 0)
-    print(f"[epoch {epoch} step {step}] {parts} steps/sec={sps:.3f}", flush=True)
+from cyclegan_tpu.utils.observability import (
+    MetricsLogger, StepProfiler, enable_debug_flags)
 
 
 def _dataset_spec(cfg: Config):
@@ -55,6 +50,57 @@ def _evaluate(trainer, params, val_loader: Loader, eval_jit) -> dict:
     return {k: float(v) for k, v in s.items() if np.ndim(v) == 0}
 
 
+def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
+                val_loader, *, max_steps, on_validate=None) -> dict:
+    """Shared epoch loop: jitted step, logging, profiling, per-epoch
+    validation + checkpoint + auto-resume (SURVEY.md §3a outer loop)."""
+    enable_debug_flags(cfg.debug_nans)
+    step_jit = jit_step(trainer.train_step)
+    eval_jit = jax.jit(trainer.eval_step)
+    logger = MetricsLogger(cfg.results_dir)
+    profiler = StepProfiler(cfg.profile_dir)
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    start_epoch = 0
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state, start_epoch = restored
+        state = replicate_state(state, mesh)
+        print(f"resumed from epoch {start_epoch - 1}", flush=True)
+
+    result: dict = {}
+    total_steps = 0
+    stop = False
+    for epoch in range(start_epoch, cfg.epochs):
+        t0, n = time.perf_counter(), 0
+        for batch in batches_of_epoch(epoch):
+            profiler.maybe_start(total_steps)
+            state, m = step_jit(state, shard_batch(batch, mesh))
+            n += 1
+            total_steps += 1
+            profiler.maybe_stop(total_steps)
+            if n % cfg.log_every == 0:
+                sps = n / (time.perf_counter() - t0)
+                logger.log(step=total_steps, epoch=epoch,
+                           metrics=jax.device_get(m), steps_per_sec=sps)
+            if max_steps is not None and total_steps >= max_steps:
+                stop = True
+                break
+        if (epoch + 1) % cfg.validation_every == 0:
+            result = _evaluate(trainer, seg_params(state), val_loader, eval_jit)
+            print(f"[epoch {epoch}] val {result}", flush=True)
+            if on_validate is not None:
+                on_validate(state, epoch)
+        ckpt.save(epoch, jax.device_get(state))
+        if stop:
+            break
+    profiler.finish()
+    logger.close()
+    ckpt.wait()
+    ckpt.close()
+    return result
+
+
 def run_supervised(cfg: Config, *, max_steps: int | None = None) -> dict:
     """Config-1 path: the minimum end-to-end slice (SURVEY.md §7 item 4)."""
     num_classes, in_ch = _dataset_spec(cfg)
@@ -65,43 +111,13 @@ def run_supervised(cfg: Config, *, max_steps: int | None = None) -> dict:
                           crop_hw=cfg.crop_hw, train=True, seed=cfg.seed)
     val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
                         train=False, drop_last=False)
-    spe = train_loader.steps_per_epoch()
-    trainer = SupervisedTrainer(cfg, num_classes, in_ch, spe)
-
+    trainer = SupervisedTrainer(cfg, num_classes, in_ch,
+                                train_loader.steps_per_epoch())
     mesh = make_mesh(cfg.num_devices)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(cfg.seed)), mesh)
-    step_jit = jit_step(trainer.train_step)
-    eval_jit = jax.jit(trainer.eval_step)
-
-    ckpt = CheckpointManager(cfg.checkpoint_dir)
-    start_epoch = 0
-    restored = ckpt.restore(state)
-    if restored is not None:
-        state, start_epoch = restored
-        print(f"resumed from epoch {start_epoch - 1}", flush=True)
-
-    result: dict = {}
-    total_steps = 0
-    for epoch in range(start_epoch, cfg.epochs):
-        t0, n = time.perf_counter(), 0
-        for batch in train_loader.epoch(epoch):
-            state, m = step_jit(state, shard_batch(batch, mesh))
-            n += 1
-            total_steps += 1
-            if n % cfg.log_every == 0:
-                sps = n / (time.perf_counter() - t0)
-                _log(total_steps, epoch, jax.device_get(m), sps)
-            if max_steps is not None and total_steps >= max_steps:
-                break
-        if (epoch + 1) % cfg.validation_every == 0:
-            result = _evaluate(trainer, state.params, val_loader, eval_jit)
-            print(f"[epoch {epoch}] val {result}", flush=True)
-        ckpt.save(epoch, jax.device_get(state))
-        if max_steps is not None and total_steps >= max_steps:
-            break
-    ckpt.wait()
-    ckpt.close()
-    return result
+    return _train_loop(
+        cfg, trainer, state, mesh, train_loader.epoch,
+        lambda s: s.params, val_loader, max_steps=max_steps)
 
 
 def run_cyclegan(cfg: Config, *, max_steps: int | None = None) -> dict:
@@ -117,49 +133,24 @@ def run_cyclegan(cfg: Config, *, max_steps: int | None = None) -> dict:
                           crop_hw=cfg.crop_hw, train=True, seed=cfg.seed + 1)
     val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
                         train=False, drop_last=False)
-    spe = unlab_loader.steps_per_epoch()
-    trainer = CycleGANTrainer(cfg, num_classes, in_ch, spe)
-
+    trainer = CycleGANTrainer(cfg, num_classes, in_ch,
+                              unlab_loader.steps_per_epoch())
     mesh = make_mesh(cfg.num_devices)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(cfg.seed)), mesh)
-    step_jit = jit_step(trainer.train_step)
-    eval_jit = jax.jit(trainer.eval_step)
 
-    ckpt = CheckpointManager(cfg.checkpoint_dir)
-    start_epoch = 0
-    restored = ckpt.restore(state)
-    if restored is not None:
-        state, start_epoch = restored
-        print(f"resumed from epoch {start_epoch - 1}", flush=True)
-
-    result: dict = {}
-    total_steps = 0
-    for epoch in range(start_epoch, cfg.epochs):
-        t0, n = time.perf_counter(), 0
-        for lab_batch, unlab_batch in paired_iterator(lab_loader, unlab_loader, epoch):
-            batch = {
+    def batches(epoch):
+        for lab_batch, unlab_batch in paired_iterator(lab_loader, unlab_loader,
+                                                      epoch):
+            yield {
                 "lab_image": lab_batch["image"],
                 "lab_label": lab_batch["label"],
                 "unlab_image": unlab_batch["image"],
             }
-            state, m = step_jit(state, shard_batch(batch, mesh))
-            n += 1
-            total_steps += 1
-            if n % cfg.log_every == 0:
-                sps = n / (time.perf_counter() - t0)
-                _log(total_steps, epoch, jax.device_get(m), sps)
-            if max_steps is not None and total_steps >= max_steps:
-                break
-        if (epoch + 1) % cfg.validation_every == 0:
-            result = _evaluate(trainer, state.g_i2l, val_loader, eval_jit)
-            print(f"[epoch {epoch}] val {result}", flush=True)
-            _dump_samples(cfg, trainer, state, val_loader, epoch)
-        ckpt.save(epoch, jax.device_get(state))
-        if max_steps is not None and total_steps >= max_steps:
-            break
-    ckpt.wait()
-    ckpt.close()
-    return result
+
+    return _train_loop(
+        cfg, trainer, state, mesh, batches, lambda s: s.g_i2l, val_loader,
+        max_steps=max_steps,
+        on_validate=lambda s, e: _dump_samples(cfg, trainer, s, val_loader, e))
 
 
 def _dump_samples(cfg: Config, trainer: CycleGANTrainer, state, val_loader: Loader,

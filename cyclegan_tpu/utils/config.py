@@ -51,6 +51,10 @@ class Config:
     validation_every: int = 1          # epochs
     log_every: int = 20                # steps
 
+    # observability (SURVEY.md §5 — absent in the reference)
+    profile_dir: str | None = None     # jax.profiler trace target
+    debug_nans: bool = False
+
     seed: int = 0
 
     def replace(self, **kw) -> "Config":
