@@ -35,6 +35,7 @@ class ResnetGenerator(nn.Module):
     norm: str = "instance"
     use_dropout: bool = False
     head: str = "tanh"  # tanh (image domain) | none (label logits)
+    remat: bool = False  # rematerialize the residual trunk (jax.checkpoint)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -48,10 +49,17 @@ class ResnetGenerator(nn.Module):
                       norm=self.norm, act="relu", dtype=self.dtype)(h)
         h = ConvBlock(ngf * 4, kernel=3, stride=2, pad=1, pad_mode="zero",
                       norm=self.norm, act="relu", dtype=self.dtype)(h)
-        # Residual trunk
-        for _ in range(self.n_blocks):
-            h = ResidualBlock(ngf * 4, norm=self.norm, use_dropout=self.use_dropout,
-                              dtype=self.dtype)(h, deterministic=deterministic)
+        # Residual trunk — optionally rematerialized: trades a second forward
+        # for not keeping 2 activations per block live through the backward
+        # (HBM headroom for big crops / global batches).
+        block_cls = nn.remat(ResidualBlock, static_argnums=(2,)) if self.remat \
+            else ResidualBlock
+        for i in range(self.n_blocks):
+            # Explicit names keep the param tree identical with remat on/off
+            # (nn.remat would otherwise prefix "Checkpoint...").
+            h = block_cls(ngf * 4, norm=self.norm, use_dropout=self.use_dropout,
+                          dtype=self.dtype,
+                          name=f"ResidualBlock_{i}")(h, deterministic)
         # Upsample: transposed 3x3 s2 convs, 256->128->64
         h = DeconvBlock(ngf * 2, norm=self.norm, dtype=self.dtype)(h)
         h = DeconvBlock(ngf, norm=self.norm, dtype=self.dtype)(h)
@@ -159,6 +167,7 @@ def define_Gen(
     use_dropout: bool = False,
     head: str = "tanh",
     dtype: Dtype = jnp.float32,
+    remat: bool = False,
 ) -> nn.Module:
     """Generator factory (reference ``define_Gen`` — SURVEY.md §2).
 
@@ -169,10 +178,12 @@ def define_Gen(
     """
     if netG == "resnet_9blocks":
         return ResnetGenerator(output_nc, ngf, n_blocks=9, norm=norm,
-                               use_dropout=use_dropout, head=head, dtype=dtype)
+                               use_dropout=use_dropout, head=head, dtype=dtype,
+                               remat=remat)
     if netG == "resnet_6blocks":
         return ResnetGenerator(output_nc, ngf, n_blocks=6, norm=norm,
-                               use_dropout=use_dropout, head=head, dtype=dtype)
+                               use_dropout=use_dropout, head=head, dtype=dtype,
+                               remat=remat)
     if netG == "unet_128":
         return UnetGenerator(output_nc, num_downs=7, ngf=ngf, norm=norm,
                              use_dropout=use_dropout, head=head, dtype=dtype)

@@ -214,7 +214,7 @@ class ResidualBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         h = ConvBlock(
             self.features, kernel=3, pad=1, pad_mode="reflect", norm=self.norm,
             act="relu", dtype=self.dtype,

@@ -62,9 +62,11 @@ class CycleGANTrainer:
         self.in_channels = in_channels
         dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
         self.G_i2l = define_Gen(num_classes, cfg.ngf, cfg.gen_net, cfg.norm,
-                                cfg.use_dropout, head="none", dtype=dtype)
+                                cfg.use_dropout, head="none", dtype=dtype,
+                                remat=cfg.remat)
         self.G_l2i = define_Gen(in_channels, cfg.ngf, cfg.gen_net, cfg.norm,
-                                cfg.use_dropout, head="tanh", dtype=dtype)
+                                cfg.use_dropout, head="tanh", dtype=dtype,
+                                remat=cfg.remat)
         self.D_img = define_Dis(cfg.ndf, cfg.dis_net, cfg.n_layers_D, cfg.norm,
                                 dtype=dtype)
         self.D_lab = define_Dis(cfg.ndf, cfg.dis_net, cfg.n_layers_D, cfg.norm,
@@ -110,24 +112,34 @@ class CycleGANTrainer:
         (B,H,W,C). jit/donate me.
         """
         real_lab_oh = self._onehot(batch["lab_label"])
+        # Dropout: fresh masks per forward call (reference semantics); inert
+        # when use_dropout is off.
+        rng0, *dkeys = jax.random.split(state.rng, 6)
+        det = not self.cfg.use_dropout
+
+        def _apply(model, params, x, k):
+            return model.apply(
+                params, x, deterministic=det,
+                rngs={"dropout": k} if not det else None)
 
         def g_loss_fn(g_params):
             g_i2l, g_l2i = g_params
             fake_lab = jax.nn.softmax(
-                self.G_i2l.apply(g_i2l, batch["unlab_image"]), axis=-1)
-            fake_img = self.G_l2i.apply(g_l2i, real_lab_oh)
+                _apply(self.G_i2l, g_i2l, batch["unlab_image"], dkeys[0]),
+                axis=-1)
+            fake_img = _apply(self.G_l2i, g_l2i, real_lab_oh, dkeys[1])
             # adversarial (LSGAN) — D params are closed-over constants
             adv_lab = losses.lsgan_loss(self.D_lab.apply(state.d_lab, fake_lab), True)
             adv_img = losses.lsgan_loss(self.D_img.apply(state.d_img, fake_img), True)
             # cycles
-            rec_img = self.G_l2i.apply(g_l2i, fake_lab)
+            rec_img = _apply(self.G_l2i, g_l2i, fake_lab, dkeys[2])
             cyc_img = losses.l1_loss(rec_img, batch["unlab_image"]) * self.lamda
-            rec_lab_logits = self.G_i2l.apply(g_i2l, fake_img)
+            rec_lab_logits = _apply(self.G_i2l, g_i2l, fake_img, dkeys[3])
             cyc_lab = losses.cross_entropy_loss(
                 rec_lab_logits, batch["lab_label"],
                 ignore_index=self.ignore_index) * self.lamda_lab
             # supervised CE on the labeled subset
-            sup_logits = self.G_i2l.apply(g_i2l, batch["lab_image"])
+            sup_logits = _apply(self.G_i2l, g_i2l, batch["lab_image"], dkeys[4])
             sup = losses.cross_entropy_loss(
                 sup_logits, batch["lab_label"], ignore_index=self.ignore_index)
             total = adv_lab + adv_img + cyc_img + cyc_lab + sup
@@ -147,7 +159,7 @@ class CycleGANTrainer:
         # Pool phase: detached fakes through the replay buffers.
         # pool_size=0 bypasses replay (fresh fakes go straight to D) — used by
         # deterministic parity tests; the reference default is 50.
-        rng, k_img, k_lab = jax.random.split(state.rng, 3)
+        rng, k_img, k_lab = jax.random.split(rng0, 3)
         fake_img = jax.lax.stop_gradient(aux.pop("fake_img"))
         fake_lab = jax.lax.stop_gradient(aux.pop("fake_lab"))
         if self.cfg.pool_size > 0:

@@ -22,6 +22,7 @@ from cyclegan_tpu.utils.config import Config
 class SupervisedState(NamedTuple):
     params: Any
     opt_state: optax.OptState
+    rng: jax.Array
     step: jax.Array
 
 
@@ -36,7 +37,8 @@ class SupervisedTrainer:
         dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
         self.model = define_Gen(
             output_nc=num_classes, ngf=cfg.ngf, netG=cfg.gen_net, norm=cfg.norm,
-            use_dropout=cfg.use_dropout, head="none", dtype=dtype)
+            use_dropout=cfg.use_dropout, head="none", dtype=dtype,
+            remat=cfg.remat)
         self.tx = schedule.make_adam(
             schedule.make_lambda_lr(
                 cfg.lr, epochs=cfg.epochs, decay_epoch=cfg.decay_epoch,
@@ -47,19 +49,25 @@ class SupervisedTrainer:
         dummy = jnp.zeros(
             (1, self.cfg.crop_height, self.cfg.crop_width, self.in_channels),
             jnp.float32)
-        params = self.model.init(rng, dummy)
+        k_init, k_state = jax.random.split(rng)
+        params = self.model.init(k_init, dummy)
         return SupervisedState(
             params=params,
             opt_state=self.tx.init(params),
+            rng=k_state,
             step=jnp.zeros((), jnp.int32),
         )
 
     def train_step(self, state: SupervisedState, batch: dict
                    ) -> tuple[SupervisedState, dict]:
         """(state, batch) -> (state, metrics); jit/donate me."""
+        rng, k_drop = jax.random.split(state.rng)
+        det = not self.cfg.use_dropout
 
         def loss_fn(params):
-            logits = self.model.apply(params, batch["image"])
+            logits = self.model.apply(
+                params, batch["image"], deterministic=det,
+                rngs={"dropout": k_drop} if not det else None)
             return losses.cross_entropy_loss(
                 logits, batch["label"], ignore_index=self.ignore_index)
 
@@ -67,7 +75,7 @@ class SupervisedTrainer:
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (
-            SupervisedState(params, opt_state, state.step + 1),
+            SupervisedState(params, opt_state, rng, state.step + 1),
             {"ce_loss": loss},
         )
 

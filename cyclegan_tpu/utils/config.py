@@ -43,6 +43,7 @@ class Config:
 
     # precision / parallelism
     bf16: bool = True                  # bf16 compute, fp32 params
+    remat: bool = False                # rematerialize generator trunks
     num_devices: int | None = None     # None = all visible
 
     # io

@@ -1,0 +1,170 @@
+"""Import a reference-style torch checkpoint into this framework's format.
+
+The reference saves one ``latest.ckpt`` dict: epoch + 4 net state-dicts
+(Gab/Gba/Da/Db) + 2 optimizer state-dicts (SURVEY.md §3e). This tool converts
+the four net state-dicts into our NHWC/HWIO Flax param pytrees and writes an
+Orbax checkpoint that ``--training`` auto-resumes from (optimizer moments are
+re-initialized — Adam state is architecture-layout-specific and the reference
+semantics recover within a few steps).
+
+Usage:
+  python tools/import_torch_checkpoint.py latest.ckpt ./checkpoints \
+      --num_classes 21 --in_channels 3 --gen_net resnet_9blocks [--size 256]
+
+Key layout conventions handled:
+  torch Conv2d      (O, I, kH, kW) -> HWIO
+  torch ConvTranspose2d (I, O, kH, kW) -> HWIO
+State-dict key order is used (torch preserves registration order = forward
+order), so this works for any Sequential-style naming.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _conv_entries(state_dict):
+    """(key, weight, bias, is_transpose) per conv layer, in forward order."""
+    out = []
+    for k in state_dict:
+        if not k.endswith(".weight"):
+            continue
+        w = state_dict[k]
+        if w.ndim != 4:
+            continue  # norm affine weights etc.
+        b = state_dict.get(k[:-7] + ".bias")
+        out.append((k, np.asarray(w), np.asarray(b) if b is not None else None))
+    return out
+
+
+def _to_hwio(w: np.ndarray, transpose_conv: bool) -> np.ndarray:
+    if transpose_conv:
+        return w.transpose(2, 3, 0, 1)  # (I,O,kH,kW) -> HWIO
+    return w.transpose(2, 3, 1, 0)      # (O,I,kH,kW) -> HWIO
+
+
+_GEN_ORDER = (["ConvBlock_0", "ConvBlock_1", "ConvBlock_2"]
+              + [f"ResidualBlock_{i}" for i in range(16)]
+              + ["DeconvBlock_0", "DeconvBlock_1", "ConvBlock_3"])
+
+
+def _leaf_paths(params) -> list[tuple]:
+    """Kernel param paths of a Flax tree, sorted into forward order.
+
+    Generators (trees containing DeconvBlock) use the ResNet-generator layer
+    order where the head ConvBlock_3 comes last; discriminators are plain
+    numeric ConvBlock_N order.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    kernels = [(p, v) for p, v in flat if p[-1].key == "kernel"]
+    is_generator = any(
+        any(getattr(k, "key", "").startswith("DeconvBlock") for k in p)
+        for p, _ in kernels)
+
+    def name_key(n: str):
+        if is_generator and n in _GEN_ORDER:
+            return _GEN_ORDER.index(n)
+        if "_" in n and n.rsplit("_", 1)[1].isdigit():
+            return int(n.rsplit("_", 1)[1])
+        return 0
+
+    return sorted(kernels,
+                  key=lambda item: [name_key(getattr(k, "key", str(k)))
+                                    for k in item[0]])
+
+
+def import_net(torch_sd: dict, jax_params, *, has_deconv: bool = True):
+    """Map torch conv weights onto a Flax param tree by forward order."""
+    entries = _conv_entries(torch_sd)
+    paths = _leaf_paths(jax_params)
+    if len(entries) != len(paths):
+        raise ValueError(
+            f"conv count mismatch: torch has {len(entries)}, flax expects "
+            f"{len(paths)} — wrong --gen_net/--num_classes?")
+    params = jax.tree.map(lambda x: x, jax_params)  # copy
+
+    def set_in(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k.key]
+        node[path[-1].key] = value
+
+    import jax.numpy as jnp
+
+    for (kname, w, b), (path, old_kernel) in zip(entries, paths):
+        is_deconv = has_deconv and ("Deconv" in path[-2].key or
+                                    w.shape[0] != old_kernel.shape[3])
+        # Disambiguate via expected HWIO shape.
+        cand = _to_hwio(w, False)
+        if cand.shape != old_kernel.shape:
+            cand = _to_hwio(w, True)
+        if cand.shape != old_kernel.shape:
+            raise ValueError(f"{kname}: shape {w.shape} fits neither conv nor "
+                             f"deconv layout for {old_kernel.shape}")
+        set_in(params, path, jnp.asarray(cand))
+        if b is not None:
+            bias_path = list(path[:-1])
+            node = params
+            for k in bias_path:
+                node = node[k.key]
+            node["bias"] = jnp.asarray(b)
+    return params
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("torch_ckpt")
+    ap.add_argument("out_dir")
+    ap.add_argument("--num_classes", type=int, default=21)
+    ap.add_argument("--in_channels", type=int, default=3)
+    ap.add_argument("--gen_net", default="resnet_9blocks")
+    ap.add_argument("--ngf", type=int, default=64)
+    ap.add_argument("--ndf", type=int, default=64)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="override the epoch stored in the checkpoint")
+    args = ap.parse_args()
+
+    import torch
+
+    from cyclegan_tpu.train.checkpoint import CheckpointManager
+    from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+    from cyclegan_tpu.utils.config import Config
+
+    ckpt = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
+    cfg = Config(gen_net=args.gen_net, ngf=args.ngf, ndf=args.ndf,
+                 crop_height=args.size, crop_width=args.size, bf16=False)
+    trainer = CycleGANTrainer(cfg, args.num_classes, args.in_channels,
+                              steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    # Accept both {'Gab': sd, ...} naming and positional lists.
+    def find(*names):
+        for n in names:
+            if n in ckpt:
+                return ckpt[n]
+        raise KeyError(f"none of {names} in checkpoint keys {list(ckpt)}")
+
+    state = state._replace(
+        g_i2l=import_net(find("Gsi", "Gab", "G_A", "netG_A"), state.g_i2l),
+        g_l2i=import_net(find("Gis", "Gba", "G_B", "netG_B"), state.g_l2i),
+        d_img=import_net(find("Di", "Da", "D_A", "netD_A"), state.d_img),
+        d_lab=import_net(find("Ds", "Db", "D_B", "netD_B"), state.d_lab),
+    )
+    epoch = args.epoch if args.epoch is not None else int(ckpt.get("epoch", 0))
+    mngr = CheckpointManager(args.out_dir)
+    mngr.save(epoch, jax.device_get(state))
+    mngr.wait()
+    mngr.close()
+    print(f"imported -> {args.out_dir} (epoch {epoch})")
+
+
+if __name__ == "__main__":
+    main()
