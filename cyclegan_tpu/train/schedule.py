@@ -19,7 +19,10 @@ def lambda_lr_factor(epoch, *, epochs: int, offset: int, decay_epoch: int):
     num = jnp.maximum(0.0, e + offset - decay_epoch)
     # Guard epochs == decay_epoch (no decay window -> constant LR).
     denom = max(epochs - decay_epoch, 1)
-    return 1.0 - num / float(denom)
+    # Clamp at 0: training past `epochs` must not turn the LR negative
+    # (the reference never runs past `epochs`, but gradient ascent is never
+    # the right failure mode).
+    return jnp.maximum(0.0, 1.0 - num / float(denom))
 
 
 def make_lambda_lr(
