@@ -61,6 +61,64 @@ class ResnetG(nn.Module):
         return self.net(x)
 
 
+class UnetBlock(nn.Module):
+    """U-Net skip block mirroring the reference's UnetSkipConnectionBlock."""
+
+    def __init__(self, outer_nc, inner_nc, input_nc, submodule=None,
+                 outermost=False, innermost=False):
+        super().__init__()
+        self.outermost = outermost
+        down_conv = nn.Conv2d(input_nc, inner_nc, 4, 2, 1)
+        if outermost:
+            up = nn.ConvTranspose2d(inner_nc * 2, outer_nc, 4, 2, 1)
+            self.model = nn.Sequential(down_conv, submodule, nn.ReLU(True), up)
+        elif innermost:
+            up = nn.ConvTranspose2d(inner_nc, outer_nc, 4, 2, 1)
+            self.model = nn.Sequential(
+                nn.LeakyReLU(0.2, True), down_conv, nn.ReLU(True), up,
+                nn.InstanceNorm2d(outer_nc))
+        else:
+            up = nn.ConvTranspose2d(inner_nc * 2, outer_nc, 4, 2, 1)
+            self.model = nn.Sequential(
+                nn.LeakyReLU(0.2, True), down_conv, nn.InstanceNorm2d(inner_nc),
+                submodule, nn.ReLU(True), up, nn.InstanceNorm2d(outer_nc))
+
+    def forward(self, x):
+        if self.outermost:
+            return self.model(x)
+        return torch.cat([x, self.model(x)], 1)
+
+
+class UnetG(nn.Module):
+    def __init__(self, in_nc, out_nc, num_downs=7, ngf=64, tanh=True):
+        super().__init__()
+        block = UnetBlock(ngf * 8, ngf * 8, ngf * 8, innermost=True)
+        for _ in range(num_downs - 5):
+            block = UnetBlock(ngf * 8, ngf * 8, ngf * 8, submodule=block)
+        block = UnetBlock(ngf * 4, ngf * 8, ngf * 4, submodule=block)
+        block = UnetBlock(ngf * 2, ngf * 4, ngf * 2, submodule=block)
+        block = UnetBlock(ngf, ngf * 2, ngf, submodule=block)
+        block = UnetBlock(out_nc, ngf, in_nc, submodule=block, outermost=True)
+        self.model = block
+        self.tanh = tanh
+
+    def forward(self, x):
+        y = self.model(x)
+        return torch.tanh(y) if self.tanh else y
+
+
+class PixelD(nn.Module):
+    def __init__(self, in_nc, ndf=64):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.Conv2d(in_nc, ndf, 1), nn.LeakyReLU(0.2, True),
+            nn.Conv2d(ndf, ndf * 2, 1), nn.InstanceNorm2d(ndf * 2),
+            nn.LeakyReLU(0.2, True), nn.Conv2d(ndf * 2, 1, 1))
+
+    def forward(self, x):
+        return self.net(x)
+
+
 class PatchD(nn.Module):
     def __init__(self, in_nc, ndf=64, n_layers=3):
         super().__init__()
