@@ -27,9 +27,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Per-block VMEM budget for the x block (bytes). Keep well under the ~16 MB
-# VMEM so double buffering + out block fit too.
-_VMEM_BUDGET = 4 * 1024 * 1024
+# Per-block VMEM budget for the x block (bytes). The ~16 MB VMEM must also
+# hold the out block; 6 MB keeps the ResNet trunk and the 128x128x128 bf16
+# upsample level fused (the 256x256x64 stem falls back to XLA — its full
+# spatial plane cannot sit in VMEM, and a two-pass Pallas kernel would match
+# XLA's 2-read traffic anyway).
+_VMEM_BUDGET = 6 * 1024 * 1024
 
 _LEAKY_SLOPE = 0.2
 

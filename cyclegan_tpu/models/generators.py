@@ -96,14 +96,20 @@ class _UnetBlock(nn.Module):
                             (4, 4, x.shape[-1], self.inner_nc))
         down_b = self.param("down_bias", nn.initializers.zeros, (self.inner_nc,))
 
+        from cyclegan_tpu.ops.blocks import fused_norm_act
+
         h = x
         if not self.outermost:
             h = F.leaky_relu(h, 0.2)
         h = F.conv2d(h, down_w, down_b, stride=2, padding=1, compute_dtype=self.dtype)
         if not self.outermost and not self.innermost:
-            n = norm_layer()
-            if n is not None:
-                h = n(h)
+            fused = fused_norm_act(h, self.norm, "none")
+            if fused is not None:
+                h = fused
+            else:
+                n = norm_layer()
+                if n is not None:
+                    h = n(h)
 
         if self.submodule is not None:
             h = self.submodule(h, deterministic=deterministic)
@@ -116,9 +122,13 @@ class _UnetBlock(nn.Module):
                                output_padding=0, compute_dtype=self.dtype)
         if self.outermost:
             return h  # head activation applied by UnetGenerator
-        n = norm_layer()
-        if n is not None:
-            h = n(h)
+        fused = fused_norm_act(h, self.norm, "none")
+        if fused is not None:
+            h = fused
+        else:
+            n = norm_layer()
+            if n is not None:
+                h = n(h)
         if self.use_dropout:
             h = nn.Dropout(rate=0.5, deterministic=deterministic)(h)
         return jnp.concatenate([x, h], axis=-1)

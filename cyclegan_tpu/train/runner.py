@@ -37,16 +37,20 @@ def _dataset_spec(cfg: Config):
     return num_classes, in_ch
 
 
-def _evaluate(trainer, params, val_loader: Loader, eval_jit) -> dict:
+def _evaluate(trainer, params, val_loader: Loader, eval_jit, mesh=None) -> dict:
+    """Accumulate the confusion matrix over the val split (sharded over the
+    mesh when given — eval rides the same DP layout as training)."""
     hist = None
     for batch in val_loader.epoch(0):
         if "label" not in batch:
             continue
+        if mesh is not None and batch["image"].shape[0] % mesh.size == 0:
+            batch = shard_batch(batch, mesh)
         h = eval_jit(params, batch)
         hist = h if hist is None else hist + h
     if hist is None:
         return {}
-    s = metrics_lib.scores(hist)
+    s = metrics_lib.scores(jax.device_get(hist))
     return {k: float(v) for k, v in s.items() if np.ndim(v) == 0}
 
 
@@ -87,7 +91,8 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
                 stop = True
                 break
         if (epoch + 1) % cfg.validation_every == 0:
-            result = _evaluate(trainer, seg_params(state), val_loader, eval_jit)
+            result = _evaluate(trainer, seg_params(state), val_loader, eval_jit,
+                               mesh)
             print(f"[epoch {epoch}] val {result}", flush=True)
             if on_validate is not None:
                 on_validate(state, epoch)
