@@ -160,18 +160,35 @@ def run_cyclegan(cfg: Config, *, max_steps: int | None = None) -> dict:
 
 def _dump_samples(cfg: Config, trainer: CycleGANTrainer, state, val_loader: Loader,
                   epoch: int, n: int = 4) -> None:
-    """Sample-image dumps (SURVEY.md §3a "sample-image dump")."""
+    """Sample-image dumps (SURVEY.md §3a): input image, colorized GT and
+    prediction, and the label->image generator's synthesis."""
     try:
         from PIL import Image
     except ImportError:
         return
     os.makedirs(cfg.results_dir, exist_ok=True)
     batch = next(iter(val_loader.epoch(0)))
-    pred = np.asarray(trainer.predict(state.g_i2l, batch["image"][:n]))
+    imgs = batch["image"][:n]
+    pred = np.asarray(trainer.predict(state.g_i2l, imgs))
+
+    def to_u8(x):  # [-1,1] float -> uint8 RGB/gray
+        u = np.clip((np.asarray(x) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        return u[..., 0] if u.shape[-1] == 1 else u
+
+    gen = None
+    if "label" in batch:
+        gen = to_u8(trainer.generate_image(
+            state.g_l2i, jnp.asarray(batch["label"][:n])))
     for i in range(min(n, pred.shape[0])):
-        rgb = decode_colormap(pred[i].astype(np.uint8))
-        Image.fromarray(rgb).save(
-            os.path.join(cfg.results_dir, f"epoch{epoch}_sample{i}_pred.png"))
+        stem = os.path.join(cfg.results_dir, f"epoch{epoch}_sample{i}")
+        Image.fromarray(to_u8(imgs[i])).save(f"{stem}_input.png")
+        Image.fromarray(decode_colormap(pred[i].astype(np.uint8))).save(
+            f"{stem}_pred.png")
+        if "label" in batch:
+            Image.fromarray(decode_colormap(
+                batch["label"][i].astype(np.uint8))).save(f"{stem}_gt.png")
+        if gen is not None:
+            Image.fromarray(gen[i]).save(f"{stem}_generated.png")
 
 
 def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
