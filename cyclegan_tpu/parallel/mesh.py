@@ -1,9 +1,18 @@
-"""Device mesh + sharding helpers (TPU-native DP — SURVEY.md §2/§7 item 6).
+"""Device mesh + sharding helpers (TPU-native parallelism — SURVEY.md §2/§7).
 
-One jitted train step runs SPMD across the mesh: batches are sharded on the
-``data`` axis, train state is replicated, and XLA compiles the gradient
-all-reduce onto the ICI. No NCCL/process groups — this replaces the
-reference's ``nn.DataParallel`` wholesale.
+Two composable axes:
+
+- ``data``: batch sharding (the reference's only strategy, via
+  ``nn.DataParallel``) — XLA emits the ICI ``psum`` for gradient sync.
+- ``spatial``: optional spatial partitioning of the image H axis for crops too
+  large for one chip's HBM (512x256+ at large batch). XLA SPMD inserts the
+  conv halo exchanges and the cross-device reductions for instance-norm
+  statistics automatically — no manual collectives. (The Pallas fused
+  instance-norm assumes a full spatial plane per device, so set
+  CYCLEGAN_TPU_PALLAS=off when spatial_shards > 1.)
+
+One jitted train step runs SPMD across the mesh: batches sharded, train state
+replicated. No NCCL/process groups.
 """
 
 from __future__ import annotations
@@ -11,27 +20,41 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
-def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+def make_mesh(num_devices: int | None = None, *, spatial: int = 1,
+              devices=None) -> Mesh:
+    """(data, spatial) mesh over the first ``num_devices`` devices.
+
+    ``spatial`` splits the device count: dp = num_devices // spatial.
+    """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
         if num_devices > len(devs):
             raise ValueError(
                 f"requested {num_devices} devices but only {len(devs)} visible")
         devs = devs[:num_devices]
-    import numpy as np
+    n = len(devs)
+    if n % spatial != 0:
+        raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+    arr = np.array(devs).reshape(n // spatial, spatial)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
 
-    return Mesh(np.array(devs), (DATA_AXIS,))
 
-
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim across the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Batch dim on ``data``; H dim on ``spatial`` for rank>=3 arrays."""
+    if ndim >= 3:
+        spec = P(DATA_AXIS, SPATIAL_AXIS)
+    elif ndim >= 1:
+        spec = P(DATA_AXIS)
+    else:
+        spec = P()
+    return NamedSharding(mesh, spec)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -39,9 +62,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Host numpy batch -> device arrays sharded on the data axis."""
-    sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    """Host numpy batch -> device arrays sharded on (data[, spatial])."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch)
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    rep = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
 
 
 def jit_step(step_fn: Callable, *, donate_state: bool = True) -> Callable:
@@ -49,13 +77,8 @@ def jit_step(step_fn: Callable, *, donate_state: bool = True) -> Callable:
 
     Shardings propagate from the inputs ("computation follows data"): place
     the state with :func:`replicate_state` and batches with
-    :func:`shard_batch` and XLA derives the internal collectives (the grad
-    psum over the data axis) automatically. State is donated so optimizer
-    buffers update in place in HBM.
+    :func:`shard_batch` and XLA derives the internal collectives (grad psum
+    over ``data``, halo exchanges over ``spatial``) automatically. State is
+    donated so optimizer buffers update in place in HBM.
     """
     return jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
-
-
-def replicate_state(state: Any, mesh: Mesh) -> Any:
-    rep = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), state)

@@ -118,7 +118,7 @@ def run_supervised(cfg: Config, *, max_steps: int | None = None) -> dict:
                         train=False, drop_last=False)
     trainer = SupervisedTrainer(cfg, num_classes, in_ch,
                                 train_loader.steps_per_epoch())
-    mesh = make_mesh(cfg.num_devices)
+    mesh = make_mesh(cfg.num_devices, spatial=cfg.spatial_shards)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(cfg.seed)), mesh)
     return _train_loop(
         cfg, trainer, state, mesh, train_loader.epoch,
@@ -140,7 +140,7 @@ def run_cyclegan(cfg: Config, *, max_steps: int | None = None) -> dict:
                         train=False, drop_last=False)
     trainer = CycleGANTrainer(cfg, num_classes, in_ch,
                               unlab_loader.steps_per_epoch())
-    mesh = make_mesh(cfg.num_devices)
+    mesh = make_mesh(cfg.num_devices, spatial=cfg.spatial_shards)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(cfg.seed)), mesh)
 
     def batches(epoch):

@@ -45,6 +45,7 @@ class Config:
     bf16: bool = True                  # bf16 compute, fp32 params
     remat: bool = False                # rematerialize generator trunks
     num_devices: int | None = None     # None = all visible
+    spatial_shards: int = 1            # spatial (H) partitioning factor
 
     # io
     checkpoint_dir: str = "./checkpoints"

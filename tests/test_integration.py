@@ -73,6 +73,40 @@ class TestDataParallel8:
             np.testing.assert_allclose(a, b, atol=2e-6)
 
 
+class TestSpatialSharding:
+    def test_spatial_partition_matches_unsharded(self, monkeypatch):
+        """(4,2) data x spatial mesh computes the same loss/grads as a single
+        device — XLA's halo exchanges + IN stat reductions are transparent."""
+        monkeypatch.setenv("CYCLEGAN_TPU_PALLAS", "off")
+        from cyclegan_tpu.train import losses
+
+        cfg = Config(gen_net="resnet_6blocks", ngf=8, bf16=False,
+                     crop_height=32, crop_width=32, batch_size=4,
+                     epochs=2, decay_epoch=1)
+        tr = SupervisedTrainer(cfg, num_classes=4, in_channels=3, steps_per_epoch=4)
+        params = tr.init_state(jax.random.PRNGKey(0)).params
+        batch = {
+            "image": jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3)),
+            "label": jax.random.randint(jax.random.PRNGKey(2), (4, 32, 32), 0, 4),
+        }
+
+        def loss_fn(p, b):
+            return losses.cross_entropy_loss(
+                tr.model.apply(p, b["image"]), b["label"])
+
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        mesh_sp = make_mesh(8, spatial=2)
+        mesh_1 = make_mesh(1)
+        l_sp, g_sp = vg(replicate_state(params, mesh_sp),
+                        shard_batch(batch, mesh_sp))
+        l_1, g_1 = vg(replicate_state(params, mesh_1),
+                      shard_batch(batch, mesh_1))
+        assert abs(float(l_sp) - float(l_1)) < 1e-5
+        for a, b in zip(jax.tree.leaves(jax.device_get(g_sp)),
+                        jax.tree.leaves(jax.device_get(g_1))):
+            np.testing.assert_allclose(a, b, atol=2e-6)
+
+
 class TestShapeConfigs:
     def test_rectangular_cityscapes_shape(self):
         """512x256-style rectangular crops (H != W) through the full step."""
