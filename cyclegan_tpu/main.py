@@ -36,6 +36,9 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu, tpu) — needed because "
                         "this environment's sitecustomize overrides JAX_PLATFORMS")
+    p.add_argument("--gpu_ids", type=str, default=None,
+                   help="reference-compat alias: '0,1,2' selects 3 devices "
+                        "(maps to --num_devices; TPU chips, not GPUs)")
     defaults = Config()
     for f in dataclasses.fields(Config):
         if f.name in ("bf16",):
@@ -61,6 +64,9 @@ def build_config(args: argparse.Namespace) -> Config:
         for f in dataclasses.fields(Config)
         if getattr(args, f.name, None) is not None
     }
+    if getattr(args, "gpu_ids", None) and "num_devices" not in overrides:
+        overrides["num_devices"] = len(
+            [g for g in args.gpu_ids.split(",") if g.strip() != ""])
     return cfg.replace(**overrides)
 
 
