@@ -90,12 +90,16 @@ class CycleGANTrainer:
         g_l2i = self.G_l2i.init(k[1], lab_probs)
         d_img = self.D_img.init(k[2], img)
         d_lab = self.D_lab.init(k[3], lab_probs)
+        # Pools hold detached fakes only — store in the compute dtype (the
+        # label pool at 256x256x21 would be 275 MB in fp32 at pool size 50).
+        pool_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
         return CycleGANState(
             g_i2l=g_i2l, g_l2i=g_l2i, d_img=d_img, d_lab=d_lab,
             g_opt=self.g_tx.init((g_i2l, g_l2i)),
             d_opt=self.d_tx.init((d_img, d_lab)),
-            pool_img=init_pool(cfg.pool_size, (h, w, c)),
-            pool_lab=init_pool(cfg.pool_size, (h, w, self.num_classes)),
+            pool_img=init_pool(cfg.pool_size, (h, w, c), pool_dtype),
+            pool_lab=init_pool(cfg.pool_size, (h, w, self.num_classes),
+                               pool_dtype),
             rng=k[4], step=jnp.zeros((), jnp.int32),
         )
 

@@ -90,7 +90,7 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
             if max_steps is not None and total_steps >= max_steps:
                 stop = True
                 break
-        if (epoch + 1) % cfg.validation_every == 0:
+        if cfg.validation_every > 0 and (epoch + 1) % cfg.validation_every == 0:
             result = _evaluate(trainer, seg_params(state), val_loader, eval_jit,
                                mesh)
             print(f"[epoch {epoch}] val {result}", flush=True)
