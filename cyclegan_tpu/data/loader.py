@@ -72,6 +72,22 @@ class Loader:
         batch = {"image": np.stack(imgs)}
         if labs:
             batch["label"] = np.stack(labs)
+        return self._pad_batch(batch)
+
+    def _pad_batch(self, batch: dict) -> dict:
+        """Pad a short final eval batch to batch_size with ignore-label rows
+        (255 is masked by the CE loss and the confusion matrix) — keeps every
+        batch the same static shape so XLA compiles the eval step once."""
+        n = batch["image"].shape[0]
+        if n == self.batch_size:
+            return batch
+        pad = self.batch_size - n
+        img_pad = np.zeros((pad,) + batch["image"].shape[1:], batch["image"].dtype)
+        batch["image"] = np.concatenate([batch["image"], img_pad])
+        if "label" in batch:
+            lab_pad = np.full((pad,) + batch["label"].shape[1:], 255,
+                              batch["label"].dtype)
+            batch["label"] = np.concatenate([batch["label"], lab_pad])
         return batch
 
     def _make_batch_native(self, idxs: np.ndarray, rng: np.random.Generator) -> dict:

@@ -215,9 +215,12 @@ def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
     from PIL import Image
     hist = None
     idx = 0
+    n_total = len(val_ds)
     for batch in val_loader.epoch(0):
         pred = np.asarray(predict_jit(params, batch["image"]))
         for i in range(pred.shape[0]):
+            if idx >= n_total:
+                break  # batch padding rows (ignore-label) — not real samples
             Image.fromarray(decode_colormap(pred[i].astype(np.uint8))).save(
                 os.path.join(cfg.results_dir, f"pred_{idx:05d}.png"))
             idx += 1
