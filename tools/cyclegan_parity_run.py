@@ -1,0 +1,135 @@
+"""Long-horizon semi-sup CycleGAN trajectory parity vs torch.
+
+Runs N full alternating G/D steps (pool bypassed on both sides so the
+trajectories are RNG-free) from identical injected weights on identical
+fixed batches, and reports the per-step G-loss trajectories and their final
+divergence. Extends tests/test_train_parity.py (3 steps) to a meaningful
+horizon for BASELINE.md.
+
+Prints one JSON line.
+Run: python tools/cyclegan_parity_run.py [--steps 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import torch  # noqa: E402
+
+from parity_utils import inject_patchgan, inject_resnet_gen  # noqa: E402
+
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer  # noqa: E402
+from cyclegan_tpu.utils.config import Config  # noqa: E402
+from tools.torch_reference import PatchD, ResnetG  # noqa: E402
+from tools.torch_reference import train_step as torch_step_impl  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--classes", type=int, default=5)
+    ap.add_argument("--ngf", type=int, default=8)
+    ap.add_argument("--n_blocks", type=int, default=2)
+    args = ap.parse_args()
+
+    N, S, NB = args.classes, args.size, args.n_blocks
+    torch.manual_seed(0)
+    tmodels = (ResnetG(3, N, args.ngf, NB, tanh=False),
+               ResnetG(N, 3, args.ngf, NB, tanh=True),
+               PatchD(3, args.ngf), PatchD(N, args.ngf))
+    t_opts = (
+        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
+                                         tmodels[1].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
+                                         tmodels[3].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+    )
+
+    cfg = Config(gen_net="resnet_6blocks", ngf=args.ngf, ndf=args.ngf,
+                 bf16=False, crop_height=S, crop_width=S, batch_size=1,
+                 pool_size=0, epochs=10_000, decay_epoch=5_000)
+    trainer = CycleGANTrainer(cfg, N, 3, steps_per_epoch=1)
+    trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
+    trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = state._replace(
+        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
+        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
+        d_img=inject_patchgan(state.d_img, tmodels[2]),
+        d_lab=inject_patchgan(state.d_lab, tmodels[3]),
+    )
+    state = state._replace(
+        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
+        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
+    )
+
+    g = torch.Generator().manual_seed(42)
+    lab_img = torch.randn(1, 3, S, S, generator=g)
+    unlab_img = torch.randn(1, 3, S, S, generator=g)
+    lab_lab = torch.randint(0, N, (1, S, S), generator=g)
+    lab_oh = torch.nn.functional.one_hot(lab_lab, N).permute(0, 3, 1, 2).float()
+    batch = {
+        "lab_image": jnp.asarray(lab_img.numpy().transpose(0, 2, 3, 1)),
+        "lab_label": jnp.asarray(lab_lab.numpy()).astype(jnp.int32),
+        "unlab_image": jnp.asarray(unlab_img.numpy().transpose(0, 2, 3, 1)),
+    }
+
+    step = jax.jit(trainer.train_step, donate_argnums=0)
+    j_curve, t_curve = [], []
+    for _ in range(args.steps):
+        state, m = step(state, batch)
+        j_curve.append(float(m["g_total"]))
+        # instrument the torch step's G loss identically
+        t_curve.append(_torch_g_loss(tmodels, batch_t=(lab_img, lab_lab,
+                                                       unlab_img, lab_oh)))
+        torch_step_impl(tmodels, t_opts, (lab_img, lab_lab, unlab_img, lab_oh))
+
+    j, t = np.array(j_curve), np.array(t_curve)
+    # jax metric is computed DURING the step (pre-update); torch probe is also
+    # pre-update — comparable.
+    rel = np.abs(j - t) / np.maximum(np.abs(t), 1e-6)
+    print(json.dumps({
+        "steps": args.steps,
+        "final_jax_g": round(float(j[-1]), 4),
+        "final_torch_g": round(float(t[-1]), 4),
+        "max_rel_divergence": round(float(rel.max()), 5),
+        "mean_rel_divergence": round(float(rel.mean()), 6),
+    }))
+
+
+def _torch_g_loss(models, batch_t) -> float:
+    """The G objective exactly as torch_reference.train_step computes it,
+    evaluated without updating (pre-update probe)."""
+    G_i2l, G_l2i, D_img, D_lab = models
+    lab_img, lab_lab, unlab_img, lab_oh = batch_t
+    mse = torch.nn.MSELoss()
+    l1 = torch.nn.L1Loss()
+    ce = torch.nn.CrossEntropyLoss(ignore_index=255)
+    with torch.no_grad():
+        fake_lab = torch.softmax(G_i2l(unlab_img), 1)
+        fake_img = G_l2i(lab_oh)
+        adv = mse(D_lab(fake_lab), torch.ones_like(D_lab(fake_lab))) + \
+              mse(D_img(fake_img), torch.ones_like(D_img(fake_img)))
+        cyc_img = l1(G_l2i(fake_lab), unlab_img) * 10.0
+        cyc_lab = ce(G_i2l(fake_img), lab_lab) * 10.0
+        sup = ce(G_i2l(lab_img), lab_lab)
+        return float(adv + cyc_img + cyc_lab + sup)
+
+
+if __name__ == "__main__":
+    main()
