@@ -29,6 +29,32 @@ def _pallas_mode() -> str:
     return os.environ.get("CYCLEGAN_TPU_PALLAS", "auto")
 
 
+_pallas_self_check: bool | None = None
+
+
+def _pallas_ok() -> bool:
+    """One-time probe: compile + run the fused kernel on a tiny shape on the
+    current backend. If the TPU toolchain rejects it, auto mode silently
+    falls back to the XLA path instead of failing the whole program."""
+    global _pallas_self_check
+    if _pallas_self_check is None:
+        try:
+            from cyclegan_tpu.kernels.instance_norm import instance_norm_act
+
+            # The probe usually fires while an outer train step is being
+            # traced; ensure_compile_time_eval escapes the trace so the tiny
+            # kernel actually compiles and runs now.
+            with jax.ensure_compile_time_eval():
+                x = jnp.ones((1, 8, 8, 128), jnp.float32)
+                y = jax.jit(
+                    lambda v: instance_norm_act(v, None, 1e-5, "relu", False))(x)
+                jax.block_until_ready(y)
+                _pallas_self_check = bool(jnp.isfinite(y).all())
+        except Exception:
+            _pallas_self_check = False
+    return _pallas_self_check
+
+
 def fused_norm_act(x: jax.Array, norm: str, act: str,
                    skip: jax.Array | None = None) -> jax.Array | None:
     """Try the fused Pallas instance-norm(+act)(+skip) kernel.
@@ -43,7 +69,7 @@ def fused_norm_act(x: jax.Array, norm: str, act: str,
     if mode == "off":
         return None
     interpret = mode == "interpret"
-    if not interpret and jax.default_backend() != "tpu":
+    if not interpret and (jax.default_backend() != "tpu" or not _pallas_ok()):
         return None
     from cyclegan_tpu.kernels.instance_norm import (
         instance_norm_act, supported_shape)
