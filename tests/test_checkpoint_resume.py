@@ -1,0 +1,64 @@
+"""Checkpoint/resume correctness (SURVEY.md §3e): training resumed from a
+checkpoint must produce exactly the same state as uninterrupted training —
+all params, optimizer moments, pools, and the PRNG key survive the roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cyclegan_tpu.train.checkpoint import CheckpointManager
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+from cyclegan_tpu.utils.config import Config
+
+
+def _batch(rng, b=2, h=24, w=24, c=3, k=4):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "lab_image": jax.random.uniform(k1, (b, h, w, c), minval=-1, maxval=1),
+        "lab_label": jax.random.randint(k2, (b, h, w), 0, k),
+        "unlab_image": jax.random.uniform(k3, (b, h, w, c), minval=-1, maxval=1),
+    }
+
+
+def test_resume_is_bit_exact(tmp_path):
+    cfg = Config(gen_net="resnet_6blocks", ngf=8, ndf=8, bf16=False,
+                 crop_height=24, crop_width=24, batch_size=2, pool_size=3,
+                 epochs=4, decay_epoch=2)
+    tr = CycleGANTrainer(cfg, num_classes=4, in_channels=3, steps_per_epoch=2)
+    step = jax.jit(tr.train_step)  # no donation: we reuse mid states
+    batches = [_batch(jax.random.PRNGKey(i)) for i in range(5)]
+
+    # Continuous run: 3 steps, snapshot, 2 more.
+    state = tr.init_state(jax.random.PRNGKey(0))
+    for b in batches[:3]:
+        state, _ = step(state, b)
+    mngr = CheckpointManager(str(tmp_path / "ck"))
+    mngr.save(0, jax.device_get(state))
+    mngr.wait()
+    cont = state
+    for b in batches[3:]:
+        cont, _ = step(cont, b)
+
+    # Resumed run: restore the snapshot, replay the same last 2 batches.
+    template = tr.init_state(jax.random.PRNGKey(0))
+    restored, next_epoch = mngr.restore(jax.device_get(template))
+    assert next_epoch == 1
+    mngr.close()
+    for b in batches[3:]:
+        restored, _ = step(restored, b)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(jax.device_get(cont))
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(jax.device_get(restored)))
+    for path, a in flat_a:
+        b = flat_b[path]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+
+
+def test_restore_none_when_empty(tmp_path):
+    cfg = Config(gen_net="resnet_6blocks", ngf=8, bf16=False,
+                 crop_height=24, crop_width=24, epochs=2, decay_epoch=1)
+    tr = CycleGANTrainer(cfg, num_classes=4, in_channels=3, steps_per_epoch=2)
+    mngr = CheckpointManager(str(tmp_path / "empty"))
+    assert mngr.restore(tr.init_state(jax.random.PRNGKey(0))) is None
+    mngr.close()
