@@ -37,6 +37,21 @@ def _dataset_spec(cfg: Config):
     return num_classes, in_ch
 
 
+def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
+                 drop_last: bool = True):
+    """Loader factory: native (thread prefetch + C++ pixel kernels) or grain
+    (worker processes, multi-host sharding) per Config.loader."""
+    kw = dict(batch_size=cfg.batch_size, crop_hw=cfg.crop_hw, train=train,
+              seed=seed, drop_last=drop_last)
+    if cfg.loader == "grain":
+        from cyclegan_tpu.data.grain_loader import GrainLoader
+
+        return GrainLoader(ds, num_workers=cfg.loader_workers, **kw)
+    if cfg.loader != "native":
+        raise ValueError(f"unknown loader {cfg.loader!r} (native|grain)")
+    return Loader(ds, **kw)
+
+
 def _evaluate(trainer, params, val_loader: Loader, eval_jit, mesh=None) -> dict:
     """Accumulate the confusion matrix over the val split (sharded over the
     mesh when given — eval rides the same DP layout as training)."""
@@ -112,10 +127,8 @@ def run_supervised(cfg: Config, *, max_steps: int | None = None) -> dict:
     train_ds = make_dataset(cfg.dataset, cfg.data_root, split="train",
                             size=cfg.dataset_size)
     val_ds = make_dataset(cfg.dataset, cfg.data_root, split="val")
-    train_loader = Loader(train_ds, batch_size=cfg.batch_size,
-                          crop_hw=cfg.crop_hw, train=True, seed=cfg.seed)
-    val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
-                        train=False, drop_last=False)
+    train_loader = _make_loader(cfg, train_ds, train=True, seed=cfg.seed)
+    val_loader = _make_loader(cfg, val_ds, train=False, seed=0, drop_last=False)
     trainer = SupervisedTrainer(cfg, num_classes, in_ch,
                                 train_loader.steps_per_epoch())
     mesh = make_mesh(cfg.num_devices, spatial=cfg.spatial_shards)
@@ -132,12 +145,9 @@ def run_cyclegan(cfg: Config, *, max_steps: int | None = None) -> dict:
                             size=cfg.dataset_size)
     lab_ds, unlab_ds = split_labeled(train_ds, cfg.labeled_fraction, cfg.seed)
     val_ds = make_dataset(cfg.dataset, cfg.data_root, split="val")
-    lab_loader = Loader(lab_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
-                        train=True, seed=cfg.seed)
-    unlab_loader = Loader(unlab_ds, batch_size=cfg.batch_size,
-                          crop_hw=cfg.crop_hw, train=True, seed=cfg.seed + 1)
-    val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
-                        train=False, drop_last=False)
+    lab_loader = _make_loader(cfg, lab_ds, train=True, seed=cfg.seed)
+    unlab_loader = _make_loader(cfg, unlab_ds, train=True, seed=cfg.seed + 1)
+    val_loader = _make_loader(cfg, val_ds, train=False, seed=0, drop_last=False)
     trainer = CycleGANTrainer(cfg, num_classes, in_ch,
                               unlab_loader.steps_per_epoch())
     mesh = make_mesh(cfg.num_devices, spatial=cfg.spatial_shards)

@@ -37,6 +37,8 @@ class Config:
     # data
     dataset: str = "voc2012"
     data_root: str | None = None
+    loader: str = "native"             # native (thread + C++ kernels) | grain
+    loader_workers: int = 0            # grain worker processes
     crop_height: int = 256
     crop_width: int = 256
     dataset_size: int | None = None   # subset (e.g. 100-image VOC config 1)
