@@ -75,8 +75,10 @@ def _fwd_kernel(x_ref, out_ref, mean_ref, rstd_ref, *, eps, act, has_skip,
     if has_skip:
         y = y + skip_ref[0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
-    mean_ref[0] = mean[0]
-    rstd_ref[0] = rstd[0]
+    # stats blocks are (1, 1, ct) — TPU tiling needs the sublane dim to match
+    # the (n, 1, c)-shaped stats array, not a (n, c) one
+    mean_ref[0] = mean
+    rstd_ref[0] = rstd
 
 
 def _fwd_kernel_skip(x_ref, skip_ref, out_ref, mean_ref, rstd_ref, *, eps, act):
@@ -87,8 +89,8 @@ def _fwd_kernel_skip(x_ref, skip_ref, out_ref, mean_ref, rstd_ref, *, eps, act):
 def _bwd_kernel(x_ref, dy_ref, mean_ref, rstd_ref, dx_ref, *, act):
     x = x_ref[0].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)
-    mean = mean_ref[0][None, :]
-    rstd = rstd_ref[0][None, :]
+    mean = mean_ref[0]  # (1, ct)
+    rstd = rstd_ref[0]
     xhat = (x - mean) * rstd
     g = dy * _act_grad_from_z(xhat, act)
     g_mean = jnp.mean(g, axis=0, keepdims=True)
@@ -105,12 +107,12 @@ def _pallas_fwd(x, skip, *, eps: float, act: str, interpret: bool):
     grid = (n, c // ct)
     block = pl.BlockSpec((1, hw, ct), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
-    stat_block = pl.BlockSpec((1, ct), lambda i, j: (i, j),
+    stat_block = pl.BlockSpec((1, 1, ct), lambda i, j: (i, 0, j),
                               memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((n, hw, c), x.dtype),
-        jax.ShapeDtypeStruct((n, c), jnp.float32),
-        jax.ShapeDtypeStruct((n, c), jnp.float32),
+        jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
     )
     if skip is None:
         kernel = functools.partial(_fwd_kernel, eps=eps, act=act,
@@ -139,7 +141,7 @@ def _pallas_bwd(x, dy, mean, rstd, *, act: str, interpret: bool):
     grid = (n, c // ct)
     block = pl.BlockSpec((1, hw, ct), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
-    stat_block = pl.BlockSpec((1, ct), lambda i, j: (i, j),
+    stat_block = pl.BlockSpec((1, 1, ct), lambda i, j: (i, 0, j),
                               memory_space=pltpu.VMEM)
     dx = pl.pallas_call(
         functools.partial(_bwd_kernel, act=act),

@@ -38,18 +38,24 @@ def _pallas_ok() -> bool:
     falls back to the XLA path instead of failing the whole program."""
     global _pallas_self_check
     if _pallas_self_check is None:
-        try:
+
+        def probe() -> bool:
             from cyclegan_tpu.kernels.instance_norm import instance_norm_act
 
+            x = jnp.ones((1, 8, 8, 128), jnp.float32)
+            y = jax.jit(
+                lambda v: instance_norm_act(v, None, 1e-5, "relu", False))(x)
+            jax.block_until_ready(y)
+            return bool(jnp.isfinite(y).all())
+
+        try:
             # The probe usually fires while an outer train step is being
-            # traced; ensure_compile_time_eval escapes the trace so the tiny
-            # kernel actually compiles and runs now.
-            with jax.ensure_compile_time_eval():
-                x = jnp.ones((1, 8, 8, 128), jnp.float32)
-                y = jax.jit(
-                    lambda v: instance_norm_act(v, None, 1e-5, "relu", False))(x)
-                jax.block_until_ready(y)
-                _pallas_self_check = bool(jnp.isfinite(y).all())
+            # traced; JAX trace state is thread-local, so a worker thread
+            # gives a clean eager context to really compile + run the kernel.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                _pallas_self_check = ex.submit(probe).result(timeout=1800)
         except Exception:
             _pallas_self_check = False
     return _pallas_self_check
