@@ -25,8 +25,16 @@ Dtype = Any
 
 
 def _pallas_mode() -> str:
-    """auto (Pallas on TPU, XLA elsewhere) | interpret (CI) | off."""
-    return os.environ.get("CYCLEGAN_TPU_PALLAS", "auto")
+    """off (default) | auto (Pallas on TPU) | interpret (CI).
+
+    Default is OFF because the A/B on real v5e hardware (2026-08-16, 256x256
+    b1 full train step) measured 16.90 steps/s with XLA's fused
+    reduce+normalize vs 8.51 steps/s with the Pallas kernel — the pallas_call
+    materialization boundary costs more than the saved reduction read at these
+    shapes. The kernel stays available for A/B and for shapes where it wins;
+    see ROADMAP.md for the redesign notes.
+    """
+    return os.environ.get("CYCLEGAN_TPU_PALLAS", "off")
 
 
 _pallas_self_check: bool | None = None
