@@ -126,24 +126,46 @@ class CycleGANTrainer:
                 params, x, deterministic=det,
                 rngs={"dropout": k} if not det else None)
 
+        # Same-network applications are concatenated along batch: instance
+        # norm is per-sample, so this is mathematically identical to separate
+        # applies (asserted by the torch trajectory-parity tests) but feeds
+        # the MXU 2x-larger conv batches and halves the kernel-launch count —
+        # a TPU-first restructuring the reference's sequential torch calls
+        # can't express. Disabled for the (off-spec) batch-norm option, whose
+        # statistics would couple the concatenated halves.
+        fuse = self.cfg.norm != "batch"
+        b = batch["unlab_image"].shape[0]
+
         def g_loss_fn(g_params):
             g_i2l, g_l2i = g_params
-            fake_lab = jax.nn.softmax(
-                _apply(self.G_i2l, g_i2l, batch["unlab_image"], dkeys[0]),
-                axis=-1)
-            fake_img = _apply(self.G_l2i, g_l2i, real_lab_oh, dkeys[1])
+            if fuse:
+                seg_out = _apply(
+                    self.G_i2l, g_i2l,
+                    jnp.concatenate([batch["unlab_image"], batch["lab_image"]]),
+                    dkeys[0])
+                fake_lab = jax.nn.softmax(seg_out[:b], axis=-1)
+                sup_logits = seg_out[b:]
+                l2i_out = _apply(
+                    self.G_l2i, g_l2i,
+                    jnp.concatenate([real_lab_oh, fake_lab]), dkeys[1])
+                fake_img, rec_img = l2i_out[:b], l2i_out[b:]
+            else:
+                fake_lab = jax.nn.softmax(
+                    _apply(self.G_i2l, g_i2l, batch["unlab_image"], dkeys[0]),
+                    axis=-1)
+                sup_logits = _apply(self.G_i2l, g_i2l, batch["lab_image"], dkeys[4])
+                fake_img = _apply(self.G_l2i, g_l2i, real_lab_oh, dkeys[1])
+                rec_img = _apply(self.G_l2i, g_l2i, fake_lab, dkeys[2])
             # adversarial (LSGAN) — D params are closed-over constants
             adv_lab = losses.lsgan_loss(self.D_lab.apply(state.d_lab, fake_lab), True)
             adv_img = losses.lsgan_loss(self.D_img.apply(state.d_img, fake_img), True)
             # cycles
-            rec_img = _apply(self.G_l2i, g_l2i, fake_lab, dkeys[2])
             cyc_img = losses.l1_loss(rec_img, batch["unlab_image"]) * self.lamda
             rec_lab_logits = _apply(self.G_i2l, g_i2l, fake_img, dkeys[3])
             cyc_lab = losses.cross_entropy_loss(
                 rec_lab_logits, batch["lab_label"],
                 ignore_index=self.ignore_index) * self.lamda_lab
             # supervised CE on the labeled subset
-            sup_logits = _apply(self.G_i2l, g_i2l, batch["lab_image"], dkeys[4])
             sup = losses.cross_entropy_loss(
                 sup_logits, batch["lab_label"], ignore_index=self.ignore_index)
             total = adv_lab + adv_img + cyc_img + cyc_lab + sup
@@ -175,12 +197,23 @@ class CycleGANTrainer:
 
         def d_loss_fn(d_params):
             d_img_p, d_lab_p = d_params
-            d_img_loss = 0.5 * (
-                losses.lsgan_loss(self.D_img.apply(d_img_p, batch["unlab_image"]), True)
-                + losses.lsgan_loss(self.D_img.apply(d_img_p, pooled_fake_img), False))
-            d_lab_loss = 0.5 * (
-                losses.lsgan_loss(self.D_lab.apply(d_lab_p, real_lab_oh), True)
-                + losses.lsgan_loss(self.D_lab.apply(d_lab_p, pooled_fake_lab), False))
+            if fuse:
+                s_img = self.D_img.apply(d_img_p, jnp.concatenate(
+                    [batch["unlab_image"], pooled_fake_img.astype(
+                        batch["unlab_image"].dtype)]))
+                d_img_loss = 0.5 * (losses.lsgan_loss(s_img[:b], True)
+                                    + losses.lsgan_loss(s_img[b:], False))
+                s_lab = self.D_lab.apply(d_lab_p, jnp.concatenate(
+                    [real_lab_oh, pooled_fake_lab.astype(real_lab_oh.dtype)]))
+                d_lab_loss = 0.5 * (losses.lsgan_loss(s_lab[:b], True)
+                                    + losses.lsgan_loss(s_lab[b:], False))
+            else:
+                d_img_loss = 0.5 * (
+                    losses.lsgan_loss(self.D_img.apply(d_img_p, batch["unlab_image"]), True)
+                    + losses.lsgan_loss(self.D_img.apply(d_img_p, pooled_fake_img), False))
+                d_lab_loss = 0.5 * (
+                    losses.lsgan_loss(self.D_lab.apply(d_lab_p, real_lab_oh), True)
+                    + losses.lsgan_loss(self.D_lab.apply(d_lab_p, pooled_fake_lab), False))
             total = d_img_loss + d_lab_loss
             return total, {"d_img": d_img_loss, "d_lab": d_lab_loss, "d_total": total}
 
