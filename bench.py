@@ -27,18 +27,20 @@ except (FileNotFoundError, json.JSONDecodeError):
     pass
 
 
-def measure_jax(size: int, batch: int, steps: int, warmup: int) -> float:
+def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
+                width: int | None = None, channels: int = 3,
+                classes: int = 21) -> float:
     import jax
-    import jax.numpy as jnp
 
     from cyclegan_tpu.parallel import make_mesh, replicate_state, shard_batch, jit_step
     from cyclegan_tpu.train.cyclegan import CycleGANTrainer
     from cyclegan_tpu.utils.config import Config
 
+    h, w = size, width or size
     cfg = Config(dataset="synthetic", gen_net="resnet_9blocks",
-                 crop_height=size, crop_width=size, batch_size=batch,
+                 crop_height=h, crop_width=w, batch_size=batch,
                  bf16=True, epochs=200, decay_epoch=100)
-    trainer = CycleGANTrainer(cfg, num_classes=21, in_channels=3,
+    trainer = CycleGANTrainer(cfg, num_classes=classes, in_channels=channels,
                               steps_per_epoch=100)
     mesh = make_mesh(1)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
@@ -47,10 +49,10 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int) -> float:
     rng = jax.random.PRNGKey(1)
     batch_d = shard_batch(
         {
-            "lab_image": jax.random.uniform(rng, (batch, size, size, 3),
+            "lab_image": jax.random.uniform(rng, (batch, h, w, channels),
                                             minval=-1, maxval=1),
-            "lab_label": jax.random.randint(rng, (batch, size, size), 0, 21),
-            "unlab_image": jax.random.uniform(rng, (batch, size, size, 3),
+            "lab_label": jax.random.randint(rng, (batch, h, w), 0, classes),
+            "unlab_image": jax.random.uniform(rng, (batch, h, w, channels),
                                               minval=-1, maxval=1),
         },
         mesh,
@@ -87,7 +89,13 @@ def _resolve_platform(retries: int = 3, wait_s: int = 30) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--size", type=int, default=256, help="crop height")
+    ap.add_argument("--width", type=int, default=None,
+                    help="crop width (default: square); 512x256 Cityscapes "
+                         "config = --size 256 --width 512")
+    ap.add_argument("--channels", type=int, default=3,
+                    help="input channels (1 = ACDC grayscale config)")
+    ap.add_argument("--classes", type=int, default=21)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
@@ -109,9 +117,12 @@ def main() -> None:
             json.dump({"torch_cpu_steps_per_sec": baseline, "size": args.size,
                        "batch": args.batch}, f)
 
-    sps = measure_jax(args.size, args.batch, args.steps, args.warmup)
+    sps = measure_jax(args.size, args.batch, args.steps, args.warmup,
+                      width=args.width, channels=args.channels,
+                      classes=args.classes)
+    w = args.width or args.size
     print(json.dumps({
-        "metric": f"cyclegan_train_steps_per_sec_{args.size}x{args.size}_b{args.batch}",
+        "metric": f"cyclegan_train_steps_per_sec_{args.size}x{w}_b{args.batch}",
         "value": round(sps, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": round(sps / baseline, 3) if baseline else None,
