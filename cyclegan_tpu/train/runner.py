@@ -87,14 +87,28 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
         state = replicate_state(state, mesh)
         print(f"resumed from epoch {start_epoch - 1}", flush=True)
 
+    def prefetched(epoch, depth=2):
+        """Keep `depth` batches in flight on device: device_put (async) runs
+        while the previous step computes — host->HBM transfer overlaps
+        compute instead of serializing with it."""
+        import collections
+
+        q = collections.deque()
+        for b in batches_of_epoch(epoch):
+            q.append(shard_batch(b, mesh))
+            if len(q) >= depth:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
     result: dict = {}
     total_steps = 0
     stop = False
     for epoch in range(start_epoch, cfg.epochs):
         t0, n = time.perf_counter(), 0
-        for batch in batches_of_epoch(epoch):
+        for batch in prefetched(epoch):
             profiler.maybe_start(total_steps)
-            state, m = step_jit(state, shard_batch(batch, mesh))
+            state, m = step_jit(state, batch)
             n += 1
             total_steps += 1
             profiler.maybe_stop(total_steps)
