@@ -19,14 +19,25 @@ import numpy as np
 
 
 class MetricsLogger:
-    """Prints human-readable lines and appends JSON-lines to a file."""
+    """Prints human-readable lines, appends JSON-lines, and (optionally)
+    writes TensorBoard scalars when CYCLEGAN_TPU_TENSORBOARD=1 and TF is
+    importable (SURVEY.md §5 'optional TensorBoard via TF')."""
 
     def __init__(self, log_dir: str | None, *, prefix: str = "train"):
         self._file = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._file = open(os.path.join(log_dir, f"{prefix}_metrics.jsonl"),
                               "a", buffering=1)
+            if os.environ.get("CYCLEGAN_TPU_TENSORBOARD"):
+                try:
+                    import tensorflow as tf  # heavy import — opt-in only
+
+                    self._tb = tf.summary.create_file_writer(
+                        os.path.join(log_dir, "tb"))
+                except ImportError:
+                    pass
         self._t0 = time.perf_counter()
 
     def log(self, *, step: int, epoch: int, metrics: dict[str, Any],
@@ -41,10 +52,20 @@ class MetricsLogger:
             if steps_per_sec is not None:
                 rec["steps_per_sec"] = round(steps_per_sec, 4)
             self._file.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    tf.summary.scalar(k, v, step=step)
+                if steps_per_sec is not None:
+                    tf.summary.scalar("steps_per_sec", steps_per_sec, step=step)
 
     def close(self) -> None:
         if self._file is not None:
             self._file.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class StepProfiler:
