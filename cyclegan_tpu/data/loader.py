@@ -143,6 +143,12 @@ class Loader:
                 yield item
         finally:
             stop.set()
+            # Unblock a worker stuck in q.put() after an early consumer exit
+            # (max_steps runs) so the thread can observe `stop` and die.
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
 
     def forever(self) -> Iterator[dict]:
         e = 0

@@ -5,9 +5,12 @@ encoding for feeding the label->image generator").
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
+@functools.lru_cache(maxsize=4)
 def voc_colormap(num_classes: int = 256) -> np.ndarray:
     """The standard PASCAL VOC color palette (bit-interleaving algorithm)."""
     cmap = np.zeros((num_classes, 3), dtype=np.uint8)
@@ -23,18 +26,24 @@ def voc_colormap(num_classes: int = 256) -> np.ndarray:
     return cmap
 
 
-def encode_colormap(rgb: np.ndarray, num_classes: int = 21) -> np.ndarray:
-    """RGB palette image (H, W, 3) uint8 -> class-index map (H, W) uint8.
-
-    Unknown colors (e.g. the 255 'void' border color (224,224,192)) map to 255.
-    """
+@functools.lru_cache(maxsize=4)
+def _encode_lut(num_classes: int) -> np.ndarray:
+    """24-bit color -> class-index LUT (16 MB, built once per class count)."""
     cmap = voc_colormap(256)
-    # Hash each color to a 24-bit int for O(1) lookup.
     lut = np.full(1 << 24, 255, dtype=np.uint8)
     keys = (cmap[:, 0].astype(np.int64) << 16) | (cmap[:, 1].astype(np.int64) << 8) | cmap[:, 2]
     for idx in range(num_classes):
         lut[keys[idx]] = idx
     lut[keys[255]] = 255  # void
+    return lut
+
+
+def encode_colormap(rgb: np.ndarray, num_classes: int = 21) -> np.ndarray:
+    """RGB palette image (H, W, 3) uint8 -> class-index map (H, W) uint8.
+
+    Unknown colors (e.g. the 255 'void' border color (224,224,192)) map to 255.
+    """
+    lut = _encode_lut(num_classes)
     flat = (rgb[..., 0].astype(np.int64) << 16) | (rgb[..., 1].astype(np.int64) << 8) | rgb[..., 2]
     return lut[flat]
 
