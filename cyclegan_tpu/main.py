@@ -48,7 +48,8 @@ def get_args(argv=None) -> argparse.Namespace:
         arg_type = {int: int, float: float, str: str}.get(
             f.type if isinstance(f.type, type) else type(getattr(defaults, f.name)))
         if arg_type is None and getattr(defaults, f.name) is None:
-            arg_type = str if f.name in ("data_root", "profile_dir") else int
+            arg_type = {"data_root": str, "profile_dir": str,
+                        "lamda_lab": float}.get(f.name, int)
         if isinstance(getattr(defaults, f.name), bool):
             p.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true"),
                            default=None)

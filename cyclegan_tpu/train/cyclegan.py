@@ -78,7 +78,7 @@ class CycleGANTrainer:
         self.d_tx = schedule.make_adam(lr)
         self.ignore_index = 255
         self.lamda = cfg.lamda
-        self.lamda_lab = cfg.lamda
+        self.lamda_lab = cfg.lamda if cfg.lamda_lab is None else cfg.lamda_lab
 
     def init_state(self, rng: jax.Array) -> CycleGANState:
         cfg = self.cfg

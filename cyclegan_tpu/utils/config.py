@@ -31,6 +31,7 @@ class Config:
     batch_size: int = 1
     lr: float = 2e-4
     lamda: float = 10.0          # cycle-consistency weight (reference flag name)
+    lamda_lab: float | None = None  # label-cycle CE weight; None -> lamda
     pool_size: int = 50
     labeled_fraction: float = 0.125
 

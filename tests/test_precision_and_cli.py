@@ -1,0 +1,59 @@
+"""bf16-vs-f32 numerics sanity + CLI negative cases."""
+
+import jax
+import numpy as np
+import pytest
+
+from cyclegan_tpu.main import build_config, get_args
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+from cyclegan_tpu.utils.config import Config
+
+
+def test_bf16_step_tracks_f32():
+    """One train step in bf16 compute stays within bf16 tolerance of f32."""
+    def run(bf16):
+        cfg = Config(gen_net="resnet_6blocks", ngf=8, ndf=8, bf16=bf16,
+                     crop_height=32, crop_width=32, batch_size=2, pool_size=2,
+                     epochs=2, decay_epoch=1)
+        tr = CycleGANTrainer(cfg, num_classes=5, in_channels=3, steps_per_epoch=4)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        k = jax.random.PRNGKey(1)
+        k1, k2, k3 = jax.random.split(k, 3)
+        batch = {
+            "lab_image": jax.random.uniform(k1, (2, 32, 32, 3), minval=-1, maxval=1),
+            "lab_label": jax.random.randint(k2, (2, 32, 32), 0, 5),
+            "unlab_image": jax.random.uniform(k3, (2, 32, 32, 3), minval=-1, maxval=1),
+        }
+        _, m = jax.jit(tr.train_step, donate_argnums=0)(state, batch)
+        return {kk: float(v) for kk, v in m.items()}
+
+    m16, m32 = run(True), run(False)
+    for k in ("g_total", "d_total", "g_sup"):
+        assert abs(m16[k] - m32[k]) / max(abs(m32[k]), 1e-3) < 0.05, (k, m16[k], m32[k])
+
+
+def test_lamda_lab_override():
+    cfg = build_config(get_args(["--training", "--lamda_lab", "2.5"]))
+    assert cfg.lamda_lab == 2.5
+    tr = CycleGANTrainer(cfg.replace(gen_net="resnet_6blocks", ngf=8,
+                                     crop_height=16, crop_width=16),
+                         num_classes=4, in_channels=3, steps_per_epoch=1)
+    assert tr.lamda_lab == 2.5 and tr.lamda == 10.0
+
+
+def test_unknown_dataset_and_loader():
+    from cyclegan_tpu.data.datasets import make_dataset
+    from cyclegan_tpu.train.runner import _make_loader
+
+    with pytest.raises(ValueError):
+        make_dataset("imagenet")
+    with pytest.raises(ValueError):
+        _make_loader(Config(loader="tfdata"), make_dataset("synthetic", size=2),
+                     train=True, seed=0)
+
+
+def test_cli_requires_mode():
+    from cyclegan_tpu.main import main
+
+    with pytest.raises(SystemExit):
+        main(["--dataset", "synthetic"])
