@@ -103,12 +103,42 @@ def main() -> None:
     # jax metric is computed DURING the step (pre-update); torch probe is also
     # pre-update — comparable.
     rel = np.abs(j - t) / np.maximum(np.abs(t), 1e-6)
+
+    # Post-training segmentation parity: eval both G_i2l on the same val set.
+    from cyclegan_tpu.data.datasets import make_dataset
+    from cyclegan_tpu.data.loader import Loader
+    from cyclegan_tpu.train import metrics as metrics_lib
+
+    val_ds = make_dataset("synthetic", split="val", size=16)
+    # synthetic is 21-class; clamp labels into this run's class count
+    val_loader = Loader(val_ds, batch_size=2, crop_hw=(S, S), train=False,
+                        drop_last=False)
+    hist_j = np.zeros((N, N), np.int64)
+    hist_t = np.zeros((N, N), np.int64)
+    tmodels[0].eval()
+    for vb in val_loader.epoch(0):
+        lab = np.minimum(vb["label"], N - 1)
+        pj = np.asarray(jnp.argmax(
+            trainer.G_i2l.apply(state.g_i2l, jnp.asarray(vb["image"])), -1))
+        with torch.no_grad():
+            pt = tmodels[0](torch.from_numpy(
+                vb["image"].transpose(0, 3, 1, 2).copy())).argmax(1).numpy()
+        hist_j += np.asarray(metrics_lib.confusion_matrix(
+            jnp.asarray(pj), jnp.asarray(lab), N))
+        hist_t += np.asarray(metrics_lib.confusion_matrix(
+            jnp.asarray(pt), jnp.asarray(lab), N))
+    miou_j = float(metrics_lib.scores(jnp.asarray(hist_j))["miou"])
+    miou_t = float(metrics_lib.scores(jnp.asarray(hist_t))["miou"])
+
     print(json.dumps({
         "steps": args.steps,
         "final_jax_g": round(float(j[-1]), 4),
         "final_torch_g": round(float(t[-1]), 4),
         "max_rel_divergence": round(float(rel.max()), 5),
         "mean_rel_divergence": round(float(rel.mean()), 6),
+        "jax_miou": round(miou_j, 4),
+        "torch_miou": round(miou_t, 4),
+        "miou_delta": round(miou_j - miou_t, 4),
     }))
 
 
