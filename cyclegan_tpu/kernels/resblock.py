@@ -70,17 +70,7 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, eps):
     out_ref[0] = y.astype(dtype)
 
 
-def residual_block_fused(
-    x: jax.Array,
-    w1: jax.Array,
-    b1: jax.Array,
-    w2: jax.Array,
-    b2: jax.Array,
-    *,
-    eps: float = 1e-5,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused forward ResidualBlock; x: (N, H, W, C), w: (3, 3, C, C)."""
+def _forward_pallas(x, w1, b1, w2, b2, eps, interpret):
     n, h, w_, c = x.shape
     block = pl.BlockSpec((1, h, w_, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -95,6 +85,155 @@ def residual_block_fused(
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, w1, b1, w2, b2)
+
+
+def _fold_pad1(gp: jax.Array) -> jax.Array:
+    """VJP of _reflect_pad1: fold the pad rows/cols back onto their sources
+    (cols first — it was the outer pad — then rows)."""
+    g = gp[:, 1:-1, :]
+    g = g.at[:, 1, :].add(gp[:, 0, :])
+    g = g.at[:, -2, :].add(gp[:, -1, :])
+    g2 = g[1:-1]
+    g2 = g2.at[1].add(g[0])
+    g2 = g2.at[-2].add(g[-1])
+    return g2
+
+
+def _in_vjp(g, zhat, rstd):
+    """d/dz of instance norm given zhat=(z-mu)*rstd: all (HW, C) f32."""
+    g_mean = jnp.mean(g, axis=0, keepdims=True)
+    gz_mean = jnp.mean(g * zhat, axis=0, keepdims=True)
+    return rstd * (g - g_mean - zhat * gz_mean)
+
+
+def _conv3x3_wgrad(inp_padded, g3, h, w_, c):
+    """dw[dy,dx] = patch(dy,dx)^T @ g; returns (3, 3, C, C) f32."""
+    rows = []
+    for dy in range(3):
+        cols = []
+        for dx in range(3):
+            patch = inp_padded[dy:dy + h, dx:dx + w_, :].reshape(h * w_, c)
+            cols.append(jax.lax.dot_general(
+                patch, g3, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def _conv3x3_igrad(g3hw, w, h, w_, c):
+    """Input grad of the padded tensor: scatter-add of 9 shifted dots with
+    w[dy,dx]^T; returns (H+2, W+2, C) f32."""
+    dpad = jnp.zeros((h + 2, w_ + 2, c), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            contrib = jnp.dot(g3hw, w[dy, dx].T.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            dpad = dpad.at[dy:dy + h, dx:dx + w_, :].add(
+                contrib.reshape(h, w_, c))
+    return dpad
+
+
+def _bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                dx_ref, dw1_ref, dw2_ref, *, eps):
+    i = pl.program_id(0)
+    x = x_ref[0]
+    h, w_, c = x.shape
+    hw = h * w_
+    dy = dy_ref[0].astype(jnp.float32).reshape(hw, c)
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+
+    # --- recompute the forward (x is VMEM-resident; cheaper than saving
+    # every intermediate to HBM)
+    xp = _reflect_pad1(x)
+    u = _conv3x3(xp, w1, b1_ref[...], h, w_, c)
+    mu1 = jnp.mean(u, axis=0, keepdims=True)
+    r1 = jax.lax.rsqrt(jnp.mean(jnp.square(u - mu1), axis=0, keepdims=True) + eps)
+    vhat = (u - mu1) * r1
+    a = jnp.maximum(vhat, 0.0).astype(x.dtype).reshape(h, w_, c)
+    ap = _reflect_pad1(a)
+    s = _conv3x3(ap, w2, b2_ref[...], h, w_, c)
+    mu2 = jnp.mean(s, axis=0, keepdims=True)
+    r2 = jax.lax.rsqrt(jnp.mean(jnp.square(s - mu2), axis=0, keepdims=True) + eps)
+    shat = (s - mu2) * r2
+
+    # --- backward
+    ds = _in_vjp(dy, shat, r2)                       # through IN2
+    dw2 = _conv3x3_wgrad(ap, ds, h, w_, c)           # conv2 weight grad
+    da = _fold_pad1(_conv3x3_igrad(ds, w2, h, w_, c))  # conv2 input grad
+    dv = da.reshape(hw, c) * (vhat > 0)              # through ReLU
+    du = _in_vjp(dv, vhat, r1)                       # through IN1
+    dw1 = _conv3x3_wgrad(xp, du, h, w_, c)           # conv1 weight grad
+    dxc = _fold_pad1(_conv3x3_igrad(du, w1, h, w_, c))  # conv1 input grad
+    dx = dy.reshape(h, w_, c) + dxc                  # + residual skip
+
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    # dw accumulation across the (sequential) batch grid.
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    dw1_ref[...] += dw1
+    dw2_ref[...] += dw2
+
+
+def _backward_pallas(x, dy, w1, b1, w2, b2, eps, interpret):
+    n, h, w_, c = x.shape
+    block = pl.BlockSpec((1, h, w_, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    dx, dw1, dw2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps),
+        grid=(n,),
+        in_specs=[block, block, full(w1.shape), full(b1.shape),
+                  full(w2.shape), full(b2.shape)],
+        out_specs=(block, full(w1.shape), full(w2.shape)),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, dy, w1, b1, w2, b2)
+    return dx, dw1, dw2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def residual_block_fused(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused ResidualBlock; x: (N, H, W, C), w: (3, 3, C, C).
+
+    Differentiable: the VJP is a single fused Pallas backward per batch cell
+    (recompute-in-VMEM; dx + both dw in one pass). Bias grads are exactly
+    zero — a per-channel constant added before instance norm cancels in the
+    mean subtraction (true of the reference's conv-bias-before-IN too).
+    """
+    return _forward_pallas(x, w1, b1, w2, b2, eps, interpret)
+
+
+def _rb_fwd(x, w1, b1, w2, b2, eps, interpret):
+    y = _forward_pallas(x, w1, b1, w2, b2, eps, interpret)
+    return y, (x, w1, b1, w2, b2)
+
+
+def _rb_bwd(eps, interpret, res, dy):
+    x, w1, b1, w2, b2 = res
+    dx, dw1, dw2 = _backward_pallas(x, dy, w1, b1, w2, b2, eps, interpret)
+    return (dx, dw1.astype(w1.dtype), jnp.zeros_like(b1),
+            dw2.astype(w2.dtype), jnp.zeros_like(b2))
+
+
+residual_block_fused.defvjp(_rb_fwd, _rb_bwd)
 
 
 def residual_block_reference(x, w1, b1, w2, b2, *, eps: float = 1e-5):

@@ -21,7 +21,7 @@ def test_matches_xla_composition():
     c = 16
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 12, c))
     w1, b1, w2, b2 = _params(jax.random.PRNGKey(1), c)
-    got = residual_block_fused(x, w1, b1, w2, b2, interpret=True)
+    got = residual_block_fused(x, w1, b1, w2, b2, 1e-5, True)
     ref = residual_block_reference(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
@@ -38,7 +38,7 @@ def test_matches_flax_module():
         x,
         p["ConvBlock_0"]["kernel"], p["ConvBlock_0"]["bias"],
         p["ConvBlock_1"]["kernel"], p["ConvBlock_1"]["bias"],
-        interpret=True)
+        1e-5, True)
     ref = blk.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
@@ -47,7 +47,7 @@ def test_bf16():
     c = 8
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, c)).astype(jnp.bfloat16)
     w1, b1, w2, b2 = [a.astype(jnp.bfloat16) for a in _params(jax.random.PRNGKey(5), c)]
-    got = residual_block_fused(x, w1, b1, w2, b2, interpret=True)
+    got = residual_block_fused(x, w1, b1, w2, b2, 1e-5, True)
     ref = residual_block_reference(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32), atol=0.05)
@@ -56,3 +56,36 @@ def test_bf16():
 def test_supported_shapes():
     assert supported((1, 64, 64, 256), 2)       # the ResNet trunk, bf16
     assert not supported((1, 256, 256, 64), 2)  # stem: plane too large
+
+
+def test_gradients_match_xla():
+    """Custom-VJP Pallas backward vs jax autodiff of the XLA composition."""
+    c = 16
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 12, 12, c))
+    w1, b1, w2, b2 = _params(jax.random.PRNGKey(7), c)
+
+    def loss_fused(x, w1, w2):
+        return jnp.sum(jnp.sin(residual_block_fused(x, w1, b1, w2, b2, 1e-5, True)))
+
+    def loss_ref(x, w1, w2):
+        return jnp.sum(jnp.sin(residual_block_reference(x, w1, b1, w2, b2)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w1, w2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w1, w2)
+    for a, b, name in zip(gf, gr, ("dx", "dw1", "dw2")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=name)
+
+
+def test_bias_grads_are_zero():
+    """Per-channel bias before IN cancels -> exactly zero gradient."""
+    c = 8
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 8, 8, c))
+    w1, b1, w2, b2 = _params(jax.random.PRNGKey(9), c)
+
+    def loss_ref(b1, b2):
+        return jnp.sum(residual_block_reference(x, w1, b1, w2, b2) ** 2)
+
+    g1, g2 = jax.grad(loss_ref, argnums=(0, 1))(b1, b2)
+    np.testing.assert_allclose(np.asarray(g1), 0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), 0, atol=1e-4)

@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("--c", type=int, default=256)
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--grad", action="store_true",
+                    help="time value_and_grad (forward+backward) instead")
     args = ap.parse_args()
 
     from cyclegan_tpu.kernels.resblock import (
@@ -40,8 +42,19 @@ def main() -> None:
     w2 = (0.02 * jax.random.normal(ks[2], (3, 3, args.c, args.c))).astype(dt)
     b2 = jnp.zeros((args.c,), dt)
 
-    fused = jax.jit(lambda *a: residual_block_fused(*a))
-    ref = jax.jit(lambda *a: residual_block_reference(*a))
+    if args.grad:
+        def mk(fn):
+            def loss(x, w1, w2):
+                return jnp.sum(fn(x, w1, b1, w2, b2) ** 2).astype(jnp.float32)
+
+            g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+            return lambda x, w1, b1_, w2, b2_: g(x, w1, w2)
+
+        fused = mk(residual_block_fused)
+        ref = mk(residual_block_reference)
+    else:
+        fused = jax.jit(lambda *a: residual_block_fused(*a))
+        ref = jax.jit(lambda *a: residual_block_reference(*a))
 
     out: dict = {"shape": list(x.shape), "dtype": args.dtype,
                  "platform": jax.devices()[0].platform}
@@ -55,9 +68,14 @@ def main() -> None:
         dt_s = time.perf_counter() - t0
         out[f"{name}_us_per_call"] = round(dt_s / args.iters * 1e6, 1)
     # numerical agreement on this backend
-    d = jnp.abs(fused(x, w1, b1, w2, b2).astype(jnp.float32)
-                - ref(x, w1, b1, w2, b2).astype(jnp.float32)).max()
-    out["max_abs_diff"] = float(d)
+    a, b = fused(x, w1, b1, w2, b2), ref(x, w1, b1, w2, b2)
+    if args.grad:
+        d = max(float(jnp.abs(u.astype(jnp.float32) - v.astype(jnp.float32)).max())
+                for u, v in zip(a, b))
+    else:
+        d = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
+    out["max_abs_diff"] = d
+    out["mode"] = "grad" if args.grad else "forward"
     out["speedup_fused_vs_xla"] = round(
         out["xla_us_per_call"] / out["fused_us_per_call"], 3)
     print(json.dumps(out))
