@@ -167,15 +167,20 @@ class ConvBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, skip: jax.Array | None = None) -> jax.Array:
+    def __call__(self, x: jax.Array, skip: jax.Array | None = None,
+                 params_only: bool = False):
         """``skip`` is added after norm+act (fused into the Pallas kernel on
-        TPU — the ResidualBlock tail)."""
+        TPU — the ResidualBlock tail). ``params_only=True`` declares and
+        returns (kernel, bias) without computing — used by the fused
+        whole-ResidualBlock kernel to reuse this module's param tree."""
         w = self.param(
             "kernel",
             conv_kernel_init(0.02),
             (self.kernel, self.kernel, x.shape[-1], self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        if params_only:
+            return w, b
         if self.pad_mode == "reflect":
             x = F.reflect_pad(x, self.pad)
             x = F.conv2d(x, w, b, stride=self.stride, padding=0, compute_dtype=self.dtype)
@@ -255,13 +260,41 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = ConvBlock(
+        cb0 = ConvBlock(
             self.features, kernel=3, pad=1, pad_mode="reflect", norm=self.norm,
             act="relu", dtype=self.dtype,
-        )(x)
-        if self.use_dropout:
-            h = nn.Dropout(rate=0.5, deterministic=deterministic)(h)
-        return ConvBlock(
+        )
+        cb1 = ConvBlock(
             self.features, kernel=3, pad=1, pad_mode="reflect", norm=self.norm,
             act="none", dtype=self.dtype,
-        )(h, skip=x)
+        )
+        mega = self._try_megakernel(cb0, cb1, x)
+        if mega is not None:
+            return mega
+        h = cb0(x)
+        if self.use_dropout:
+            h = nn.Dropout(rate=0.5, deterministic=deterministic)(h)
+        return cb1(h, skip=x)
+
+    def _try_megakernel(self, cb0, cb1, x):
+        """Experimental whole-block Pallas kernel (CYCLEGAN_TPU_RESBLOCK=
+        auto|interpret; docs/KERNELS.md). Same param tree — the ConvBlocks
+        only declare their weights."""
+        mode = os.environ.get("CYCLEGAN_TPU_RESBLOCK", "off")
+        if mode == "off" or self.norm != "instance" or self.use_dropout:
+            return None
+        if x.shape[-1] != self.features:
+            return None
+        interpret = mode == "interpret"
+        if not interpret and jax.default_backend() != "tpu":
+            return None
+        from cyclegan_tpu.kernels.resblock import residual_block_fused, supported
+
+        if not supported(x.shape, jnp.dtype(self.dtype).itemsize):
+            return None
+        w1, b1 = cb0(x, params_only=True)
+        w2, b2 = cb1(x, params_only=True)
+        d = self.dtype
+        return residual_block_fused(
+            x.astype(d), w1.astype(d), b1.astype(d), w2.astype(d),
+            b2.astype(d), 1e-5, interpret)
