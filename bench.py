@@ -121,11 +121,15 @@ def main() -> None:
                       width=args.width, channels=args.channels,
                       classes=args.classes)
     w = args.width or args.size
+    # The torch-CPU denominator was measured at 256x256 b1 rgb — only report
+    # a ratio when the config matches it.
+    comparable = (args.size == w == 256 and args.batch == 1
+                  and args.channels == 3 and args.classes == 21)
     print(json.dumps({
         "metric": f"cyclegan_train_steps_per_sec_{args.size}x{w}_b{args.batch}",
         "value": round(sps, 4),
         "unit": "steps/sec/chip",
-        "vs_baseline": round(sps / baseline, 3) if baseline else None,
+        "vs_baseline": round(sps / baseline, 3) if (baseline and comparable) else None,
         "platform": platform,
     }))
 
