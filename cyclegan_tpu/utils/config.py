@@ -82,10 +82,13 @@ PRESETS: dict[str, Config] = {
         gen_net="resnet_9blocks", dataset="voc2012",
         crop_height=256, crop_width=256, labeled_fraction=0.125,
     ),
-    # 3. Cityscapes 512x256 semi-sup with pool replay + LR-lambda decay
+    # 3. Cityscapes 512x256 semi-sup with pool replay + LR-lambda decay.
+    # remat: the 2x-larger crop roughly doubles live activations through the
+    # six generator applies of the fused G+D backward — trade recompute for
+    # HBM headroom.
     "cityscapes_semisup_512x256": Config(
         gen_net="resnet_9blocks", dataset="cityscapes",
-        crop_height=256, crop_width=512,
+        crop_height=256, crop_width=512, remat=True,
     ),
     # 4. ACDC cardiac MRI, 1-channel, 4-class
     "acdc_semisup": Config(
