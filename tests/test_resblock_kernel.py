@@ -54,8 +54,11 @@ def test_bf16():
 
 
 def test_supported_shapes():
-    assert supported((1, 64, 64, 256), 2)       # the ResNet trunk, bf16
-    assert not supported((1, 256, 256, 64), 2)  # stem: plane too large
+    # Calibrated on v5e: the 256-crop trunk plane (64,64,256) needs ~20 MB
+    # of Mosaic stack and OOMs the 16 MB VMEM; the 128-crop trunk fits.
+    assert supported((1, 32, 32, 256), 2)
+    assert not supported((1, 64, 64, 256), 2)
+    assert not supported((1, 256, 256, 64), 2)
 
 
 def test_gradients_match_xla():
