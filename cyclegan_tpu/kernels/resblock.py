@@ -139,41 +139,64 @@ def _conv3x3_igrad(g3hw, w, h, w_, c):
     return dpad
 
 
-def _bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                dx_ref, dw1_ref, dw2_ref, *, eps):
-    i = pl.program_id(0)
-    x = x_ref[0]
+def _recompute_fwd(x, w1, b1, w2, b2, eps):
+    """Recompute the forward intermediates from VMEM-resident x."""
     h, w_, c = x.shape
-    hw = h * w_
-    dy = dy_ref[0].astype(jnp.float32).reshape(hw, c)
-    w1 = w1_ref[...]
-    w2 = w2_ref[...]
-
-    # --- recompute the forward (x is VMEM-resident; cheaper than saving
-    # every intermediate to HBM)
     xp = _reflect_pad1(x)
-    u = _conv3x3(xp, w1, b1_ref[...], h, w_, c)
+    u = _conv3x3(xp, w1, b1, h, w_, c)
     mu1 = jnp.mean(u, axis=0, keepdims=True)
     r1 = jax.lax.rsqrt(jnp.mean(jnp.square(u - mu1), axis=0, keepdims=True) + eps)
     vhat = (u - mu1) * r1
     a = jnp.maximum(vhat, 0.0).astype(x.dtype).reshape(h, w_, c)
     ap = _reflect_pad1(a)
-    s = _conv3x3(ap, w2, b2_ref[...], h, w_, c)
+    s = _conv3x3(ap, w2, b2, h, w_, c)
     mu2 = jnp.mean(s, axis=0, keepdims=True)
     r2 = jax.lax.rsqrt(jnp.mean(jnp.square(s - mu2), axis=0, keepdims=True) + eps)
     shat = (s - mu2) * r2
+    return xp, vhat, r1, ap, shat, r2
 
-    # --- backward
-    ds = _in_vjp(dy, shat, r2)                       # through IN2
-    dw2 = _conv3x3_wgrad(ap, ds, h, w_, c)           # conv2 weight grad
-    da = _fold_pad1(_conv3x3_igrad(ds, w2, h, w_, c))  # conv2 input grad
-    dv = da.reshape(hw, c) * (vhat > 0)              # through ReLU
-    du = _in_vjp(dv, vhat, r1)                       # through IN1
-    dw1 = _conv3x3_wgrad(xp, du, h, w_, c)           # conv1 weight grad
-    dxc = _fold_pad1(_conv3x3_igrad(du, w1, h, w_, c))  # conv1 input grad
-    dx = dy.reshape(h, w_, c) + dxc                  # + residual skip
 
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+def _du_chain(dy, vhat, r1, shat, r2, w2, h, w_, c):
+    """dy -> ds (through IN2) and ds -> du (conv2 input grad, ReLU, IN1)."""
+    ds = _in_vjp(dy, shat, r2)
+    da = _fold_pad1(_conv3x3_igrad(ds, w2, h, w_, c))
+    dv = da.reshape(h * w_, c) * (vhat > 0)
+    du = _in_vjp(dv, vhat, r1)
+    return ds, du
+
+
+# The backward is SPLIT into a dx kernel and a dw kernel: one fused kernel
+# holding the recompute, both weight-grad dot sets and both input-grad pad
+# buffers needed ~19.3 MB of Mosaic stack at the 128-crop trunk shape and
+# OOMed the 16 MB VMEM (measured on v5e). Each half re-reads x/dy — still
+# far below XLA's per-op traffic.
+
+
+def _bwd_dx_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref, dx_ref,
+                   *, eps):
+    x = x_ref[0]
+    h, w_, c = x.shape
+    dy = dy_ref[0].astype(jnp.float32).reshape(h * w_, c)
+    w1, w2 = w1_ref[...], w2_ref[...]
+    _, vhat, r1, _, shat, r2 = _recompute_fwd(x, w1, b1_ref[...], w2,
+                                              b2_ref[...], eps)
+    _, du = _du_chain(dy, vhat, r1, shat, r2, w2, h, w_, c)
+    dxc = _fold_pad1(_conv3x3_igrad(du, w1, h, w_, c))
+    dx_ref[0] = (dy.reshape(h, w_, c) + dxc).astype(dx_ref.dtype)
+
+
+def _bwd_dw_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   dw1_ref, dw2_ref, *, eps):
+    i = pl.program_id(0)
+    x = x_ref[0]
+    h, w_, c = x.shape
+    dy = dy_ref[0].astype(jnp.float32).reshape(h * w_, c)
+    w1, w2 = w1_ref[...], w2_ref[...]
+    xp, vhat, r1, ap, shat, r2 = _recompute_fwd(x, w1, b1_ref[...], w2,
+                                                b2_ref[...], eps)
+    ds, du = _du_chain(dy, vhat, r1, shat, r2, w2, h, w_, c)
+    dw2 = _conv3x3_wgrad(ap, ds, h, w_, c)
+    dw1 = _conv3x3_wgrad(xp, du, h, w_, c)
 
     # dw accumulation across the (sequential) batch grid.
     @pl.when(i == 0)
@@ -191,14 +214,22 @@ def _backward_pallas(x, dy, w1, b1, w2, b2, eps, interpret):
                          memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
-    dx, dw1, dw2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps),
+    in_specs = [block, block, full(w1.shape), full(b1.shape),
+                full(w2.shape), full(b2.shape)]
+    dx = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, eps=eps),
         grid=(n,),
-        in_specs=[block, block, full(w1.shape), full(b1.shape),
-                  full(w2.shape), full(b2.shape)],
-        out_specs=(block, full(w1.shape), full(w2.shape)),
+        in_specs=in_specs,
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, dy, w1, b1, w2, b2)
+    dw1, dw2 = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, eps=eps),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=(full(w1.shape), full(w2.shape)),
         out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(w1.shape, jnp.float32),
             jax.ShapeDtypeStruct(w2.shape, jnp.float32),
         ),
