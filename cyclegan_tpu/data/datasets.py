@@ -63,10 +63,14 @@ class SegmentationDataset:
         lab = None
         if lab_path is not None:
             lab_img = Image.open(lab_path)
-            if lab_img.mode == "P" or self.name == "voc2012":
-                lab = np.asarray(lab_img.convert("P") if lab_img.mode != "P" else lab_img)
-                if lab.ndim == 3:  # RGB-encoded palette — decode via colormap
-                    lab = encode_colormap(lab, self.num_classes)
+            if lab_img.mode == "P":
+                lab = np.asarray(lab_img)  # palette indices ARE the class ids
+            elif lab_img.mode in ("RGB", "RGBA"):
+                # RGB-encoded palette mask: decode colors -> class ids. Never
+                # use PIL convert('P') here — it quantizes to the web palette,
+                # producing indices that are not class ids.
+                lab = encode_colormap(
+                    np.asarray(lab_img.convert("RGB")), self.num_classes)
             else:
                 lab = np.asarray(lab_img.convert("L"))
         return img, lab

@@ -71,27 +71,45 @@ class GrainLoader:
         drop_last: bool = True,
         num_workers: int = 0,
         shard_by_process: bool = False,
+        process_shard: tuple[int, int] | None = None,
     ):
         self.ds = ds
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size (all processes)
         self.crop_hw = crop_hw
         self.train = train
         self.seed = seed
         self.resize_hw = resize_hw
         self.drop_last = drop_last
         self.num_workers = num_workers
-        self.shard_by_process = shard_by_process
+        if shard_by_process and process_shard is None:
+            import jax
+
+            process_shard = (jax.process_index(), jax.process_count())
+        p, count = process_shard or (0, 1)
+        if batch_size % count:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"process_count {count}")
+        self._proc, self._nproc = p, count
+        self._rows = batch_size // count  # per-process batch rows
         self._epoch = 0
 
     def steps_per_epoch(self) -> int:
-        n = len(self.ds)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        """Batches per epoch (global semantics — same on every process).
+
+        Record sharding gives each process ~n/P records batched into
+        rows=B/P, so every process yields the same count: it is the min over
+        processes when n isn't divisible.
+        """
+        n = len(self.ds) // self._nproc
+        return n // self._rows if self.drop_last else -(-n // self._rows)
 
     def epoch(self, epoch: int | None = None) -> Iterator[dict]:
         e = self._epoch if epoch is None else epoch
         self._epoch = e + 1
-        shard = (gp.ShardByJaxProcess(drop_remainder=True)
-                 if self.shard_by_process else gp.NoSharding())
+        shard = (gp.ShardOptions(shard_index=self._proc,
+                                 shard_count=self._nproc, drop_remainder=True)
+                 if self._nproc > 1 else gp.NoSharding())
         sampler = gp.IndexSampler(
             num_records=len(self.ds),
             shuffle=self.train,
@@ -105,10 +123,27 @@ class GrainLoader:
             sampler=sampler,
             operations=[
                 _Transform(self.crop_hw, self.train, self.resize_hw),
-                gp.Batch(batch_size=self.batch_size,
+                gp.Batch(batch_size=self._rows,
                          drop_remainder=self.drop_last),
             ],
             worker_count=self.num_workers,
         )
         for batch in loader:
-            yield dict(batch)
+            yield self._pad_batch(dict(batch))
+
+    def _pad_batch(self, batch: dict) -> dict:
+        """Pad a short final eval batch to the per-process row count with
+        ignore-label rows (mirrors Loader._pad_batch): keeps every batch the
+        same static shape so the eval step compiles once and mesh sharding
+        always applies."""
+        n = batch["image"].shape[0]
+        if n == self._rows:
+            return batch
+        pad = self._rows - n
+        img_pad = np.zeros((pad,) + batch["image"].shape[1:], batch["image"].dtype)
+        batch["image"] = np.concatenate([batch["image"], img_pad])
+        if "label" in batch:
+            lab_pad = np.full((pad,) + batch["label"].shape[1:], 255,
+                              batch["label"].dtype)
+            batch["label"] = np.concatenate([batch["label"], lab_pad])
+        return batch

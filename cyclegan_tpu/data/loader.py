@@ -40,9 +40,10 @@ class Loader:
         resize_hw: tuple[int, int] | None = None,
         drop_last: bool = True,
         prefetch: int = 4,
+        process_shard: tuple[int, int] | None = None,
     ):
         self.ds = ds
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size (all processes)
         self.crop_hw = crop_hw
         self.train = train
         self.seed = seed
@@ -50,38 +51,67 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._epoch = 0
+        # Multi-host DP: (process_index, process_count). Each process builds
+        # only its contiguous row-slice of every global batch; augment RNG is
+        # seeded per (seed, epoch, global_sample_position), so the assembled
+        # global batch is BIT-IDENTICAL for any process count (asserted by
+        # tests/test_multihost.py).
+        p, count = process_shard or (0, 1)
+        if batch_size % count:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"process_count {count}")
+        self._proc, self._nproc = p, count
+        self._rows = batch_size // count  # rows this process materializes
 
     def steps_per_epoch(self) -> int:
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _make_batch(self, idxs: np.ndarray, rng: np.random.Generator) -> dict:
+    def _sample_rng(self, epoch: int, position: int) -> np.random.Generator:
+        """Augment RNG for one sample, keyed by its GLOBAL epoch position —
+        independent of batching and process sharding."""
+        return np.random.default_rng((self.seed, epoch, position))
+
+    def _make_batch(self, idxs: np.ndarray, positions: np.ndarray,
+                    epoch: int) -> dict:
         if self.train and native.available():
-            return self._make_batch_native(idxs, rng)
+            return self._make_batch_native(idxs, positions, epoch)
         imgs, labs = [], []
-        for i in idxs:
+        for i, pos in zip(idxs, positions):
             img, lab = self.ds.get(int(i))
             if self.train:
                 img, lab = train_transform(
-                    img, lab, crop_hw=self.crop_hw, rng=rng, resize_hw=self.resize_hw)
+                    img, lab, crop_hw=self.crop_hw,
+                    rng=self._sample_rng(epoch, int(pos)),
+                    resize_hw=self.resize_hw)
             else:
                 img, lab = eval_transform(img, lab, crop_hw=self.crop_hw)
             imgs.append(img)
             if lab is not None:
                 labs.append(lab.astype(np.int32))
-        batch = {"image": np.stack(imgs)}
+        batch = {"image": np.stack(imgs)} if imgs else self._empty_batch()
         if labs:
             batch["label"] = np.stack(labs)
         return self._pad_batch(batch)
 
+    def _empty_batch(self) -> dict:
+        """All-pad local batch (a process whose row range falls entirely in
+        the padding of a short final eval batch)."""
+        ch, cw = self.crop_hw
+        c = self.ds.in_channels
+        return {"image": np.zeros((0, ch, cw, c), np.float32),
+                "label": np.zeros((0, ch, cw), np.int32)}
+
     def _pad_batch(self, batch: dict) -> dict:
-        """Pad a short final eval batch to batch_size with ignore-label rows
-        (255 is masked by the CE loss and the confusion matrix) — keeps every
-        batch the same static shape so XLA compiles the eval step once."""
+        """Pad a short final eval batch to this process's row count with
+        ignore-label rows (255 is masked by the CE loss and the confusion
+        matrix) — keeps every batch the same static shape so XLA compiles
+        the eval step once."""
         n = batch["image"].shape[0]
-        if n == self.batch_size:
+        if n == self._rows:
             return batch
-        pad = self.batch_size - n
+        pad = self._rows - n
         img_pad = np.zeros((pad,) + batch["image"].shape[1:], batch["image"].dtype)
         batch["image"] = np.concatenate([batch["image"], img_pad])
         if "label" in batch:
@@ -90,14 +120,17 @@ class Loader:
             batch["label"] = np.concatenate([batch["label"], lab_pad])
         return batch
 
-    def _make_batch_native(self, idxs: np.ndarray, rng: np.random.Generator) -> dict:
+    def _make_batch_native(self, idxs: np.ndarray, positions: np.ndarray,
+                           epoch: int) -> dict:
         """Fused C++ crop+flip+normalize path — bit-identical to the numpy
         path (same RNG parameter stream, pixel work in native code)."""
         imgs, labs, tops, lefts, flips = [], [], [], [], []
-        for i in idxs:
+        for i, pos in zip(idxs, positions):
             img, lab = self.ds.get(int(i))
             img, lab, top, left, flip = draw_train_params(
-                img, lab, crop_hw=self.crop_hw, rng=rng, resize_hw=self.resize_hw)
+                img, lab, crop_hw=self.crop_hw,
+                rng=self._sample_rng(epoch, int(pos)),
+                resize_hw=self.resize_hw)
             imgs.append(img)
             labs.append(lab)
             tops.append(top)
@@ -114,23 +147,29 @@ class Loader:
         return batch
 
     def epoch(self, epoch: int | None = None) -> Iterator[dict]:
-        """Iterate one epoch; deterministic given (seed, epoch)."""
+        """Iterate one epoch; deterministic given (seed, epoch) and — for the
+        assembled global batch — independent of process sharding."""
         e = self._epoch if epoch is None else epoch
         self._epoch = e + 1
         rng = np.random.default_rng((self.seed, e))
         idxs = rng.permutation(len(self.ds)) if self.train else np.arange(len(self.ds))
         nb = self.steps_per_epoch()
-        batches = [idxs[k * self.batch_size:(k + 1) * self.batch_size] for k in range(nb)]
-        if not self.drop_last and len(self.ds) % self.batch_size:
-            batches = batches or []
+        lo = self._proc * self._rows  # this process's rows within each batch
+        jobs = []
+        for k in range(nb):
+            glob = idxs[k * self.batch_size + lo:
+                        k * self.batch_size + lo + self._rows]
+            pos = np.arange(k * self.batch_size + lo,
+                            k * self.batch_size + lo + len(glob))
+            jobs.append((glob, pos))
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def worker():
-            for b in batches:
+            for b, pos in jobs:
                 if stop.is_set():
                     return
-                q.put(self._make_batch(b, rng))
+                q.put(self._make_batch(b, pos, e))
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -157,13 +196,45 @@ class Loader:
             e += 1
 
 
-def paired_iterator(labeled: Loader, unlabeled: Loader, epoch: int) -> Iterator[tuple[dict, dict]]:
-    """zip(labeled, unlabeled) for one epoch, cycling the shorter labeled
-    stream (the reference zips loaders — SURVEY.md §3a; we cycle the labeled
-    loader so the epoch length is set by the unlabeled stream)."""
+def paired_iterator(
+    labeled: Loader, unlabeled: Loader, epoch: int, *, mode: str = "zip"
+) -> Iterator[tuple[dict, dict]]:
+    """Pair the labeled and unlabeled streams for one epoch.
+
+    ``mode="zip"`` (default — reference semantics, SURVEY.md §3a line 149:
+    ``zip(labeled_loader, unlabeled_loader)``): the epoch ends when the
+    SHORTER stream is exhausted — at labeled fraction < 1/2 that is the
+    labeled stream, so labeled data never repeats within an epoch and
+    epochs-per-LR-decay / checkpoint cadence match the reference.
+
+    ``mode="cycle"`` (opt-in, ``--pairing cycle``): epoch length is set by
+    the unlabeled stream; the labeled stream cycles with fresh shuffles.
+    More unlabeled coverage per epoch, but diverges from reference epoch
+    accounting.
+    """
+    if mode == "zip":
+        lab_it, unlab_it = iter(labeled.epoch(epoch)), iter(unlabeled.epoch(epoch))
+        try:
+            yield from zip(lab_it, unlab_it)
+        finally:
+            # Explicitly close the longer stream so its prefetch thread dies
+            # now, not at GC time.
+            for it in (lab_it, unlab_it):
+                if hasattr(it, "close"):
+                    it.close()
+        return
+    if mode != "cycle":
+        raise ValueError(f"unknown pairing mode {mode!r} (expected zip|cycle)")
     lab_stream = _cycle(labeled, epoch)
     for unlab_batch in unlabeled.epoch(epoch):
         yield next(lab_stream), unlab_batch
+
+
+def paired_steps_per_epoch(labeled: Loader, unlabeled: Loader, mode: str = "zip") -> int:
+    """Epoch length that :func:`paired_iterator` will produce."""
+    if mode == "zip":
+        return min(labeled.steps_per_epoch(), unlabeled.steps_per_epoch())
+    return unlabeled.steps_per_epoch()
 
 
 def _cycle(loader: Loader, epoch: int) -> Iterator[dict]:

@@ -13,16 +13,22 @@ import numpy as np
 from PIL import Image
 
 
+def _resize_one(arr: np.ndarray, size_hw: tuple[int, int], resample) -> np.ndarray:
+    """PIL resize that tolerates a trailing singleton channel (ACDC grayscale
+    is (H, W, 1); PIL rejects that layout and would drop the axis on return)."""
+    h, w = size_hw
+    gray3d = arr.ndim == 3 and arr.shape[-1] == 1
+    out = np.asarray(Image.fromarray(arr[..., 0] if gray3d else arr).resize((w, h), resample))
+    return out[..., None] if gray3d else out
+
+
 def resize_pair(
     img: np.ndarray, lab: np.ndarray | None, size_hw: tuple[int, int]
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Resize image (bilinear) and label (nearest) to (h, w)."""
-    h, w = size_hw
-    pil_img = Image.fromarray(img).resize((w, h), Image.BILINEAR)
-    img = np.asarray(pil_img)
+    img = _resize_one(img, size_hw, Image.BILINEAR)
     if lab is not None:
-        pil_lab = Image.fromarray(lab).resize((w, h), Image.NEAREST)
-        lab = np.asarray(pil_lab)
+        lab = _resize_one(lab, size_hw, Image.NEAREST)
     return img, lab
 
 

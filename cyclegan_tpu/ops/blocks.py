@@ -182,8 +182,12 @@ class ConvBlock(nn.Module):
         if params_only:
             return w, b
         if self.pad_mode == "reflect":
-            x = F.reflect_pad(x, self.pad)
-            x = F.conv2d(x, w, b, stride=self.stride, padding=0, compute_dtype=self.dtype)
+            if self._use_gemm_conv():
+                x = F.conv2d_reflect_gemm(x, w, b, compute_dtype=self.dtype)
+            else:
+                x = F.reflect_pad(x, self.pad)
+                x = F.conv2d(x, w, b, stride=self.stride, padding=0,
+                             compute_dtype=self.dtype)
         else:
             x = F.conv2d(x, w, b, stride=self.stride, padding=self.pad, compute_dtype=self.dtype)
         skip = skip.astype(x.dtype) if skip is not None else None
@@ -198,6 +202,23 @@ class ConvBlock(nn.Module):
         elif self.act == "leaky":
             x = F.leaky_relu(x, 0.2)
         return x if skip is None else x + skip
+
+    def _use_gemm_conv(self) -> bool:
+        """im2col-GEMM routing for the 7x7 stem/head convs
+        (CYCLEGAN_TPU_CONV7=auto|on|off). auto = TPU only: it is a pure-XLA
+        rewrite with identical math but a different accumulation order, so
+        CPU parity/golden numerics stay byte-stable unless forced with
+        'on'. Only stride-1 'same' geometry qualifies."""
+        if self.stride != 1 or 2 * self.pad != self.kernel - 1 or self.kernel < 5:
+            return False
+        # Default OFF: the measured end-to-end A/B on v5e (256x256 b1) was
+        # 11.5 steps/s GEMM vs 16.9 XLA — the autodiff'd unfold backward
+        # materializes a (N*H*W, k*k*C) cotangent (411 MB for the stem).
+        # Re-flip to auto if/when the custom-VJP variant measures faster.
+        mode = os.environ.get("CYCLEGAN_TPU_CONV7", "off")
+        if mode == "on":
+            return True
+        return mode == "auto" and jax.default_backend() == "tpu"
 
 
 class DeconvBlock(nn.Module):
@@ -277,10 +298,13 @@ class ResidualBlock(nn.Module):
         return cb1(h, skip=x)
 
     def _try_megakernel(self, cb0, cb1, x):
-        """Experimental whole-block Pallas kernel (CYCLEGAN_TPU_RESBLOCK=
-        auto|interpret; docs/KERNELS.md). Same param tree — the ConvBlocks
-        only declare their weights."""
-        mode = os.environ.get("CYCLEGAN_TPU_RESBLOCK", "off")
+        """Whole-block Pallas kernel (CYCLEGAN_TPU_RESBLOCK=auto|off|
+        interpret; docs/KERNELS.md). Same param tree — the ConvBlocks only
+        declare their weights. Default AUTO per the measured end-to-end A/B
+        (v5e, 128x128 b1 full semi-sup step: 66.9 fused vs 61.8 XLA steps/s);
+        `supported()` restricts it to shapes where the fusion fits VMEM, so
+        unsupported shapes (e.g. the 256-crop trunk) fall through to XLA."""
+        mode = os.environ.get("CYCLEGAN_TPU_RESBLOCK", "auto")
         if mode == "off" or self.norm != "instance" or self.use_dropout:
             return None
         if x.shape[-1] != self.features:

@@ -33,6 +33,128 @@ def reflect_pad(x: jax.Array, pad: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+def _reflect_pad_concat(x: jax.Array, pad: int) -> jax.Array:
+    """Reflection pad built from flip+slice+concat (identical values to
+    :func:`reflect_pad`). Used on the GEMM conv path because every op here
+    has a scatter-free transpose: autodiff turns it into slices and adds,
+    where ``jnp.pad(mode="reflect")``'s VJP can lower to a TPU-hostile
+    scatter."""
+    if pad == 0:
+        return x
+    top = jnp.flip(x[:, 1:pad + 1], axis=1)
+    bot = jnp.flip(x[:, -pad - 1:-1], axis=1)
+    x = jnp.concatenate([top, x, bot], axis=1)
+    left = jnp.flip(x[:, :, 1:pad + 1], axis=2)
+    right = jnp.flip(x[:, :, -pad - 1:-1], axis=2)
+    return jnp.concatenate([left, x, right], axis=2)
+
+
+def _unfold_flat(xp: jax.Array, k: int, h: int, w_: int) -> jax.Array:
+    """(N, H+k-1, W+k-1, C) -> (N*h*w_, k*k*C); channel order (dy, dx, c)
+    matches ``w.reshape(k*k*C, -1)``."""
+    n, c = xp.shape[0], xp.shape[-1]
+    patches = jnp.concatenate(
+        [xp[:, dy:dy + h, dx:dx + w_, :] for dy in range(k) for dx in range(k)],
+        axis=-1)
+    return patches.reshape(n * h * w_, k * k * c)
+
+
+@jax.custom_vjp
+def _conv_gemm_core(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Stride-1 'same' reflect-pad conv as an im2col GEMM (no bias)."""
+    k = w.shape[0]
+    n, h, w_, cin = x.shape
+    patches = _unfold_flat(_reflect_pad_concat(x, (k - 1) // 2), k, h, w_)
+    return lax.dot_general(
+        patches, w.reshape(k * k * cin, -1), (((1,), (0,)), ((), ())),
+        preferred_element_type=x.dtype,
+    ).reshape(n, h, w_, w.shape[-1])
+
+
+def _conv_gemm_fwd(x, w):
+    return _conv_gemm_core(x, w), (x, w)
+
+
+def _conv_gemm_bwd(res, dy):
+    """Memory-shaped transposes (the autodiff'd unfold would materialize a
+    (N*H*W, k*k*C) cotangent — 411 MB for the 256² stem):
+
+    - dw: recomputed patches^T @ dy — one GEMM with contraction N*H*W.
+    - d(padded x): whichever of the two equivalent forms materializes less —
+      im2col on dy (k*k*Cout channels) when Cout <= Cin, else k*k small
+      (K=Cout) dots placed by static zero-pads.
+    - reflect-pad transpose via jax.vjp of the concat/flip construction
+      (slices + adds; no scatter).
+    """
+    x, w = res
+    k = w.shape[0]
+    p = (k - 1) // 2
+    n, h, w_, cin = x.shape
+    cout = w.shape[-1]
+    dyf = dy.reshape(n * h * w_, cout)
+
+    patches = _unfold_flat(_reflect_pad_concat(x, p), k, h, w_)
+    dw = lax.dot_general(patches, dyf, (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    dw = dw.reshape(k, k, cin, cout).astype(w.dtype)
+
+    hp, wp = h + 2 * p, w_ + 2 * p
+    if cout <= cin:
+        # Transposed conv as one im2col GEMM over dy (full zero pad k-1).
+        dyp = jnp.pad(dy, ((0, 0), (k - 1, k - 1), (k - 1, k - 1), (0, 0)))
+        dpat = _unfold_flat(dyp, k, hp, wp)
+        wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).reshape(k * k * cout, cin)
+        dxp = lax.dot_general(dpat, wt, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        dxp = dxp.reshape(n, hp, wp, cin)
+    else:
+        dxp = jnp.zeros((n, hp, wp, cin), jnp.float32)
+        for s in range(k):
+            for t in range(k):
+                contrib = lax.dot_general(
+                    dyf, w[s, t], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).reshape(n, h, w_, cin)
+                dxp = dxp + jnp.pad(
+                    contrib, ((0, 0), (s, 2 * p - s), (t, 2 * p - t), (0, 0)))
+
+    _, pad_vjp = jax.vjp(
+        lambda t: _reflect_pad_concat(t, p), jnp.zeros(x.shape, dxp.dtype))
+    dx = pad_vjp(dxp)[0].astype(x.dtype)
+    return dx, dw
+
+
+_conv_gemm_core.defvjp(_conv_gemm_fwd, _conv_gemm_bwd)
+
+
+def conv2d_reflect_gemm(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    compute_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """Stride-1 'same' reflect-pad conv as an explicit im2col GEMM.
+
+    Motivation (round-2 TPU profile, docs/KERNELS.md): the generator's 7x7
+    stem/head convs have 3/21/64 channels — XLA's native conv path contracts
+    over the tiny channel dim (3..64 of the MXU's 128 lanes) and pads the
+    21-channel tensors through layout copies; these four convs measured ~36%
+    of the whole semi-sup train step at 256x256. Unfolding the k*k window
+    into the channel axis makes the contraction k*k*C_in (147/1029/3136) —
+    full MXU depth. The backward is a custom VJP with memory-shaped
+    transposes (see :func:`_conv_gemm_bwd`).
+
+    Requires odd kernel with 2*pad == k-1 (the generator's c7s1 geometry).
+    """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = _conv_gemm_core(x, w)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
 def conv2d(
     x: jax.Array,
     w: jax.Array,

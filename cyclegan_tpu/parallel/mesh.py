@@ -62,7 +62,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Host numpy batch -> device arrays sharded on (data[, spatial])."""
+    """Host batch -> device arrays sharded on (data[, spatial]).
+
+    Single-process: a plain ``device_put``. Multi-process (fleet DP): each
+    process holds only its row-shard of the global batch (see Loader's
+    ``process_shard``); ``jax.make_array_from_process_local_data`` assembles
+    the global array across hosts — process p's rows land on process p's
+    devices, so no cross-host data movement happens on the input path.
+    """
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                batch_sharding(mesh, np.ndim(x)), np.asarray(x)), batch)
     return jax.tree.map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch)
 

@@ -19,10 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from cyclegan_tpu.data.datasets import DATASET_SPECS, make_dataset, split_labeled
-from cyclegan_tpu.data.loader import Loader, paired_iterator
+from cyclegan_tpu.data.loader import (
+    Loader, paired_iterator, paired_steps_per_epoch)
 from cyclegan_tpu.data.palette import decode_colormap
 from cyclegan_tpu.parallel import (
     make_mesh, replicate_state, shard_batch, jit_step)
+from cyclegan_tpu.parallel import distributed
 from cyclegan_tpu.train import metrics as metrics_lib
 from cyclegan_tpu.train.checkpoint import CheckpointManager
 from cyclegan_tpu.train.cyclegan import CycleGANTrainer
@@ -40,9 +42,14 @@ def _dataset_spec(cfg: Config):
 def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
                  drop_last: bool = True):
     """Loader factory: native (thread prefetch + C++ pixel kernels) or grain
-    (worker processes, multi-host sharding) per Config.loader."""
+    (worker processes) per Config.loader. In multi-process (fleet DP) runs
+    each process materializes only its row-shard of the global batch
+    (``process_shard``) — assembled by ``shard_batch``."""
+    shard = None
+    if jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
     kw = dict(batch_size=cfg.batch_size, crop_hw=cfg.crop_hw, train=train,
-              seed=seed, drop_last=drop_last)
+              seed=seed, drop_last=drop_last, process_shard=shard)
     if cfg.loader == "grain":
         from cyclegan_tpu.data.grain_loader import GrainLoader
 
@@ -56,11 +63,23 @@ def _evaluate(trainer, params, val_loader: Loader, eval_jit, mesh=None) -> dict:
     """Accumulate the confusion matrix over the val split (sharded over the
     mesh when given — eval rides the same DP layout as training)."""
     hist = None
+    warned = False
     for batch in val_loader.epoch(0):
         if "label" not in batch:
             continue
-        if mesh is not None and batch["image"].shape[0] % mesh.size == 0:
-            batch = shard_batch(batch, mesh)
+        if mesh is not None:
+            global_rows = batch["image"].shape[0] * jax.process_count()
+            if global_rows % mesh.size == 0:
+                batch = shard_batch(batch, mesh)
+            elif not warned:
+                # Batch smaller than the mesh (e.g. batch 2 on 8 devices):
+                # run eval replicated rather than crash. Loud, not silent —
+                # users who want sharded eval should pick batch_size as a
+                # multiple of the device count.
+                print(f"[eval] batch {batch['image'].shape[0]} not divisible "
+                      f"by mesh size {mesh.size}; running eval unsharded",
+                      flush=True)
+                warned = True
         h = eval_jit(params, batch)
         hist = h if hist is None else hist + h
     if hist is None:
@@ -74,10 +93,13 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
     """Shared epoch loop: jitted step, logging, profiling, per-epoch
     validation + checkpoint + auto-resume (SURVEY.md §3a outer loop)."""
     enable_debug_flags(cfg.debug_nans)
+    primary = distributed.is_primary()
     step_jit = jit_step(trainer.train_step)
     eval_jit = jax.jit(trainer.eval_step)
-    logger = MetricsLogger(cfg.results_dir)
-    profiler = StepProfiler(cfg.profile_dir)
+    # Only the primary process writes logs/traces (shared-filesystem safety);
+    # every process participates in compute and checkpoint restore.
+    logger = MetricsLogger(cfg.results_dir if primary else None)
+    profiler = StepProfiler(cfg.profile_dir if primary else None)
 
     ckpt = CheckpointManager(cfg.checkpoint_dir)
     start_epoch = 0
@@ -104,6 +126,18 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
     result: dict = {}
     total_steps = 0
     stop = False
+    # Metrics are logged one log-interval late: on a log step we enqueue the
+    # current (device-resident) metrics and fetch the PREVIOUS log step's —
+    # by then its compute long finished, so device_get never stalls the chip.
+    pending: tuple | None = None
+
+    def flush_pending():
+        nonlocal pending
+        if pending is not None:
+            kw, dev_m = pending
+            logger.log(metrics=jax.device_get(dev_m), **kw)
+            pending = None
+
     for epoch in range(start_epoch, cfg.epochs):
         t0, n = time.perf_counter(), 0
         for batch in prefetched(epoch):
@@ -114,20 +148,25 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
             profiler.maybe_stop(total_steps)
             if n % cfg.log_every == 0:
                 sps = n / (time.perf_counter() - t0)
-                logger.log(step=total_steps, epoch=epoch,
-                           metrics=jax.device_get(m), steps_per_sec=sps)
+                flush_pending()
+                pending = (dict(step=total_steps, epoch=epoch,
+                                steps_per_sec=sps), m)
             if max_steps is not None and total_steps >= max_steps:
                 stop = True
                 break
         if cfg.validation_every > 0 and (epoch + 1) % cfg.validation_every == 0:
             result = _evaluate(trainer, seg_params(state), val_loader, eval_jit,
                                mesh)
-            print(f"[epoch {epoch}] val {result}", flush=True)
-            if on_validate is not None:
+            if primary:
+                print(f"[epoch {epoch}] val {result}", flush=True)
+            if on_validate is not None and primary:
                 on_validate(state, epoch)
+        # All processes call save: Orbax's multiprocess coordination expects
+        # every process to participate; only the primary host writes.
         ckpt.save(epoch, jax.device_get(state))
         if stop:
             break
+    flush_pending()
     profiler.finish()
     logger.close()
     ckpt.wait()
@@ -137,6 +176,7 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
 
 def run_supervised(cfg: Config, *, max_steps: int | None = None) -> dict:
     """Config-1 path: the minimum end-to-end slice (SURVEY.md §7 item 4)."""
+    distributed.maybe_initialize(cfg)
     num_classes, in_ch = _dataset_spec(cfg)
     train_ds = make_dataset(cfg.dataset, cfg.data_root, split="train",
                             size=cfg.dataset_size)
@@ -154,6 +194,7 @@ def run_supervised(cfg: Config, *, max_steps: int | None = None) -> dict:
 
 def run_cyclegan(cfg: Config, *, max_steps: int | None = None) -> dict:
     """Config-2/3/4 path: the full semi-supervised system (SURVEY.md §3a)."""
+    distributed.maybe_initialize(cfg)
     num_classes, in_ch = _dataset_spec(cfg)
     train_ds = make_dataset(cfg.dataset, cfg.data_root, split="train",
                             size=cfg.dataset_size)
@@ -162,14 +203,21 @@ def run_cyclegan(cfg: Config, *, max_steps: int | None = None) -> dict:
     lab_loader = _make_loader(cfg, lab_ds, train=True, seed=cfg.seed)
     unlab_loader = _make_loader(cfg, unlab_ds, train=True, seed=cfg.seed + 1)
     val_loader = _make_loader(cfg, val_ds, train=False, seed=0, drop_last=False)
-    trainer = CycleGANTrainer(cfg, num_classes, in_ch,
-                              unlab_loader.steps_per_epoch())
+    steps_per_epoch = paired_steps_per_epoch(lab_loader, unlab_loader,
+                                             cfg.pairing)
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"empty paired epoch: labeled split has "
+            f"{lab_loader.steps_per_epoch()} batches of size {cfg.batch_size} "
+            f"— lower batch_size, raise labeled_fraction, or use "
+            f"--pairing cycle")
+    trainer = CycleGANTrainer(cfg, num_classes, in_ch, steps_per_epoch)
     mesh = make_mesh(cfg.num_devices, spatial=cfg.spatial_shards)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(cfg.seed)), mesh)
 
     def batches(epoch):
         for lab_batch, unlab_batch in paired_iterator(lab_loader, unlab_loader,
-                                                      epoch):
+                                                      epoch, mode=cfg.pairing):
             yield {
                 "lab_image": lab_batch["image"],
                 "lab_label": lab_batch["label"],

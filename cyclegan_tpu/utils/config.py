@@ -34,6 +34,11 @@ class Config:
     lamda_lab: float | None = None  # label-cycle CE weight; None -> lamda
     pool_size: int = 50
     labeled_fraction: float = 0.125
+    # Labeled/unlabeled epoch pairing: "zip" = reference semantics (epoch
+    # ends at the shorter, i.e. labeled, stream — SURVEY.md §3a line 149);
+    # "cycle" = epoch set by the unlabeled stream, labeled cycles (round-1
+    # behavior, opt-in).
+    pairing: str = "zip"
 
     # data
     dataset: str = "voc2012"

@@ -49,6 +49,29 @@ class TestVOCReader:
         with pytest.raises(FileNotFoundError):
             make_dataset("voc2012", "/nonexistent/path")
 
+    def test_rgb_encoded_masks_decode_to_class_ids(self, tmp_path):
+        """RGB-saved palette masks must go through the colormap codec — PIL
+        convert('P') would quantize to the web palette and corrupt labels
+        (ADVICE.md round-1 medium finding)."""
+        from cyclegan_tpu.data.palette import decode_colormap
+
+        (tmp_path / "JPEGImages").mkdir(parents=True)
+        (tmp_path / "SegmentationClass").mkdir()
+        sets = tmp_path / "ImageSets" / "Segmentation"
+        sets.mkdir(parents=True)
+        lab = np.zeros((16, 16), np.uint8)
+        lab[:8] = 1
+        lab[8:, :8] = 15
+        lab[8:, 8:] = 255  # void border
+        rgb = decode_colormap(lab)  # save the mask as plain RGB
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+            tmp_path / "JPEGImages" / "x.jpg")
+        Image.fromarray(rgb).save(tmp_path / "SegmentationClass" / "x.png")
+        (sets / "train.txt").write_text("x\n")
+        ds = make_dataset("voc2012", str(tmp_path), split="train")
+        _, got = ds.get(0)
+        np.testing.assert_array_equal(got, lab)
+
 
 class TestCityscapesReader:
     def test_reads_train_ids(self, tmp_path):

@@ -36,8 +36,24 @@ def test_paired_iterator_compat():
     ds = make_dataset("synthetic", size=12)
     lab = GrainLoader(ds, batch_size=2, crop_hw=(24, 24), train=True, seed=0)
     unlab = GrainLoader(ds, batch_size=2, crop_hw=(24, 24), train=True, seed=1)
-    pairs = list(paired_iterator(lab, unlab, epoch=0))
-    assert len(pairs) == unlab.steps_per_epoch()
+    for mode in ("zip", "cycle"):
+        pairs = list(paired_iterator(lab, unlab, epoch=0, mode=mode))
+        assert len(pairs) == unlab.steps_per_epoch()  # equal-length streams
+
+
+def test_short_final_batch_padded():
+    """Mirrors Loader._pad_batch: eval batches keep one static shape."""
+    ds = make_dataset("synthetic", split="val", size=5)
+    loader = GrainLoader(ds, batch_size=2, crop_hw=(32, 32), train=False,
+                         seed=0, drop_last=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    for b in batches:
+        assert b["image"].shape == (2, 32, 32, 3)
+        assert b["label"].shape == (2, 32, 32)
+    # padding rows: zero image, 255 ignore label
+    assert np.all(batches[-1]["label"][1] == 255)
+    assert np.all(batches[-1]["image"][1] == 0)
 
 
 def test_runner_factory_selects_grain():

@@ -92,6 +92,22 @@ class TestTransforms:
         assert out.min() >= -1.0 and out.max() <= 1.0
         assert abs(out[0, 0, 0] + 1.0) < 1e-6 and abs(out[0, 0, 2] - 1.0) < 1e-6
 
+    def test_grayscale_resize_keeps_channel(self):
+        """(H, W, 1) ACDC samples must survive every resize path — PIL
+        rejects trailing-1 arrays (ADVICE.md round-1 medium finding)."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (20, 30, 1)).astype(np.uint8)
+        lab = rng.integers(0, 4, (20, 30)).astype(np.uint8)
+        out, lab_out = transforms.resize_pair(img, lab, (48, 64))
+        assert out.shape == (48, 64, 1) and lab_out.shape == (48, 64)
+        # eval path (always resizes)
+        e_img, e_lab = transforms.eval_transform(img, lab, crop_hw=(32, 32))
+        assert e_img.shape == (32, 32, 1) and e_lab.shape == (32, 32)
+        # train path with upscale-before-crop
+        t_img, t_lab = transforms.train_transform(
+            img, lab, crop_hw=(64, 64), rng=np.random.default_rng(0))
+        assert t_img.shape == (64, 64, 1) and t_lab.shape == (64, 64)
+
 
 class TestDatasets:
     def test_synthetic_loader_shapes(self):
@@ -111,15 +127,41 @@ class TestDatasets:
         lab2, _ = split_labeled(ds, 0.25, seed=0)
         assert list(lab.items) == list(lab2.items)
 
+    def test_paired_iterator_zip_default(self):
+        """Reference semantics (SURVEY.md §3a): zip -> epoch ends at the
+        shorter (labeled) stream; labeled batches never repeat in-epoch."""
+        ds = make_dataset("synthetic", size=32)
+        lab_ds, unlab_ds = split_labeled(ds, 0.25, seed=0)  # 8 lab / 24 unlab
+        lab_l = Loader(lab_ds, batch_size=2, crop_hw=(32, 32), seed=0)
+        unlab_l = Loader(unlab_ds, batch_size=2, crop_hw=(32, 32), seed=1)
+        pairs = list(paired_iterator(lab_l, unlab_l, epoch=0))
+        assert len(pairs) == lab_l.steps_per_epoch() == 4
+        from cyclegan_tpu.data.loader import paired_steps_per_epoch
+
+        assert paired_steps_per_epoch(lab_l, unlab_l) == 4
+        assert paired_steps_per_epoch(lab_l, unlab_l, "cycle") == 12
+
     def test_paired_iterator_cycles_labeled(self):
         ds = make_dataset("synthetic", size=16)
         lab_ds, unlab_ds = split_labeled(ds, 0.125, seed=0)  # 2 labeled
         lab_l = Loader(lab_ds, batch_size=2, crop_hw=(32, 32), seed=0)
         unlab_l = Loader(unlab_ds, batch_size=2, crop_hw=(32, 32), seed=1)
-        pairs = list(paired_iterator(lab_l, unlab_l, epoch=0))
+        pairs = list(paired_iterator(lab_l, unlab_l, epoch=0, mode="cycle"))
         assert len(pairs) == unlab_l.steps_per_epoch()
         for lab_b, unlab_b in pairs:
             assert lab_b["image"].shape == unlab_b["image"].shape
+
+    def test_pairing_changes_decay_timing(self):
+        """Epoch length feeds the LR staircase: zip mode decays on the
+        labeled-stream epoch count (reference cadence)."""
+        from cyclegan_tpu.train.schedule import make_lambda_lr
+
+        # 4 steps/epoch (zip) vs 12 (cycle): after 24 steps, zip has done 6
+        # epochs, cycle 2 — different decay positions for epochs=8, decay@4.
+        f_zip = make_lambda_lr(1.0, epochs=8, decay_epoch=4, steps_per_epoch=4)
+        f_cycle = make_lambda_lr(1.0, epochs=8, decay_epoch=4, steps_per_epoch=12)
+        assert float(f_zip(24)) == 0.5    # epoch 6 of 8, decay@4 -> 1 - 2/4
+        assert float(f_cycle(24)) == 1.0  # epoch 2 -> before decay
 
     def test_grayscale_synthetic(self):
         ds = make_dataset("synthetic_gray", size=4)

@@ -99,12 +99,16 @@ def import_net(torch_sd: dict, jax_params, *, has_deconv: bool = True):
     import jax.numpy as jnp
 
     for (kname, w, b), (path, old_kernel) in zip(entries, paths):
-        is_deconv = has_deconv and ("Deconv" in path[-2].key or
-                                    w.shape[0] != old_kernel.shape[3])
-        # Disambiguate via expected HWIO shape.
-        cand = _to_hwio(w, False)
+        # Path-based layout pick: Deconv blocks hold ConvTranspose2d weights
+        # ((I,O,kH,kW)); everything else is Conv2d ((O,I,kH,kW)). Shape-based
+        # disambiguation alone is ambiguous for square kernels with
+        # in_ch == out_ch, so try the path-implied transpose FIRST and only
+        # fall back to the other order on a shape mismatch.
+        is_deconv = has_deconv and any(
+            "Deconv" in getattr(k, "key", "") for k in path)
+        cand = _to_hwio(w, is_deconv)
         if cand.shape != old_kernel.shape:
-            cand = _to_hwio(w, True)
+            cand = _to_hwio(w, not is_deconv)
         if cand.shape != old_kernel.shape:
             raise ValueError(f"{kname}: shape {w.shape} fits neither conv nor "
                              f"deconv layout for {old_kernel.shape}")
