@@ -185,9 +185,25 @@ class ConvBlock(nn.Module):
             if self._use_gemm_conv():
                 x = F.conv2d_reflect_gemm(x, w, b, compute_dtype=self.dtype)
             else:
+                # Fence the large-kernel stem/head convs from XLA's fusion
+                # choices (CYCLEGAN_TPU_BARRIER7=auto|on|off): the 256²
+                # device profile showed these convs rewritten by the
+                # space-to-batch pass and fused with pads/norms into
+                # layout-churning loops ~10x slower than the conv alone.
+                # Measured end-to-end on v5e 256x256 b1: 19.43 steps/s
+                # fenced vs 17.59 unfenced (+10%). auto = TPU only, so CPU
+                # parity/golden numerics keep their exact fusion behavior.
+                mode = os.environ.get("CYCLEGAN_TPU_BARRIER7", "auto")
+                fence = self.kernel >= 5 and (
+                    mode == "on"
+                    or (mode == "auto" and jax.default_backend() == "tpu"))
                 x = F.reflect_pad(x, self.pad)
+                if fence:
+                    x = jax.lax.optimization_barrier(x)
                 x = F.conv2d(x, w, b, stride=self.stride, padding=0,
                              compute_dtype=self.dtype)
+                if fence:
+                    x = jax.lax.optimization_barrier(x)
         else:
             x = F.conv2d(x, w, b, stride=self.stride, padding=self.pad, compute_dtype=self.dtype)
         skip = skip.astype(x.dtype) if skip is not None else None

@@ -43,7 +43,12 @@ def cross_entropy_loss(
     else:
         valid = jnp.ones(labels.shape, dtype=bool)
         safe_labels = labels
-    picked = jnp.take_along_axis(log_probs, safe_labels[..., None], axis=-1)[..., 0]
+    # Select the label logit with a one-hot contraction instead of
+    # take_along_axis: per-element gathers (and their scatter VJPs) are
+    # TPU-hostile — the gather alone measured 1.5 ms/step in the 256² train
+    # step profile, vs ~µs for the masked reduction. Same math.
+    onehot = jax.nn.one_hot(safe_labels, logits.shape[-1], dtype=log_probs.dtype)
+    picked = jnp.sum(log_probs * onehot, axis=-1)
     picked = jnp.where(valid, picked, 0.0)
     count = jnp.maximum(jnp.sum(valid), 1)
     return -jnp.sum(picked) / count
