@@ -37,6 +37,12 @@ def _pallas_mode() -> str:
     return os.environ.get("CYCLEGAN_TPU_PALLAS", "off")
 
 
+def _fence(env: str) -> bool:
+    """Shared optimization-barrier gate: auto (default) = on-TPU only."""
+    mode = os.environ.get(env, "auto")
+    return mode == "on" or (mode == "auto" and jax.default_backend() == "tpu")
+
+
 _pallas_self_check: bool | None = None
 
 
@@ -185,18 +191,17 @@ class ConvBlock(nn.Module):
             if self._use_gemm_conv():
                 x = F.conv2d_reflect_gemm(x, w, b, compute_dtype=self.dtype)
             else:
-                # Fence the large-kernel stem/head convs from XLA's fusion
-                # choices (CYCLEGAN_TPU_BARRIER7=auto|on|off): the 256²
-                # device profile showed these convs rewritten by the
-                # space-to-batch pass and fused with pads/norms into
+                # Fence the generator convs from XLA's fusion choices
+                # (CYCLEGAN_TPU_BARRIER7 for kernel>=5, CYCLEGAN_TPU_BARRIER3
+                # for the 3x3 trunk; auto|on|off, auto = TPU only so CPU
+                # parity/golden numerics keep their exact fusion behavior).
+                # The 256²b1 device profile showed these convs rewritten by
+                # the space-to-batch pass and fused with pads/norms into
                 # layout-churning loops ~10x slower than the conv alone.
-                # Measured end-to-end on v5e 256x256 b1: 19.43 steps/s
-                # fenced vs 17.59 unfenced (+10%). auto = TPU only, so CPU
-                # parity/golden numerics keep their exact fusion behavior.
-                mode = os.environ.get("CYCLEGAN_TPU_BARRIER7", "auto")
-                fence = self.kernel >= 5 and (
-                    mode == "on"
-                    or (mode == "auto" and jax.default_backend() == "tpu"))
+                # Measured end-to-end on v5e 256x256 b1: 16.95 -> 19.43
+                # steps/s fencing the 7x7s, -> 22.76 also fencing the 3x3s.
+                fence = _fence("CYCLEGAN_TPU_BARRIER7" if self.kernel >= 5
+                               else "CYCLEGAN_TPU_BARRIER3")
                 x = F.reflect_pad(x, self.pad)
                 if fence:
                     x = jax.lax.optimization_barrier(x)
@@ -205,7 +210,15 @@ class ConvBlock(nn.Module):
                 if fence:
                     x = jax.lax.optimization_barrier(x)
         else:
+            # Experimental fence for the zero-pad (downsample/PatchGAN) convs
+            # (CYCLEGAN_TPU_BARRIER_SD; default off pending its own A/B).
+            fence = (os.environ.get("CYCLEGAN_TPU_BARRIER_SD", "off") == "on"
+                     and jax.default_backend() == "tpu")
+            if fence:
+                x = jax.lax.optimization_barrier(x)
             x = F.conv2d(x, w, b, stride=self.stride, padding=self.pad, compute_dtype=self.dtype)
+            if fence:
+                x = jax.lax.optimization_barrier(x)
         skip = skip.astype(x.dtype) if skip is not None else None
         fused = fused_norm_act(x, self.norm, self.act, skip=skip)
         if fused is not None:
@@ -262,6 +275,10 @@ class DeconvBlock(nn.Module):
             (self.kernel, self.kernel, x.shape[-1], self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        fence = (os.environ.get("CYCLEGAN_TPU_BARRIER_SD", "off") == "on"
+                 and jax.default_backend() == "tpu")
+        if fence:
+            x = jax.lax.optimization_barrier(x)
         x = F.conv2d_transpose(
             x,
             w,
@@ -271,6 +288,8 @@ class DeconvBlock(nn.Module):
             output_padding=self.output_padding,
             compute_dtype=self.dtype,
         )
+        if fence:
+            x = jax.lax.optimization_barrier(x)
         fused = fused_norm_act(x, self.norm, self.act)
         if fused is not None:
             return fused
