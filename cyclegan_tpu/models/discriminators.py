@@ -28,7 +28,8 @@ class NLayerDiscriminator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        det = deterministic
         # First layer: no norm.
         h = ConvBlock(self.ndf, kernel=4, stride=2, pad=1, pad_mode="zero",
                       norm="none", act="leaky", dtype=self.dtype)(x)
@@ -36,11 +37,13 @@ class NLayerDiscriminator(nn.Module):
         for i in range(1, self.n_layers):
             nf = min(self.ndf * (2 ** i), self.ndf * 8)
             h = ConvBlock(nf, kernel=4, stride=2, pad=1, pad_mode="zero",
-                          norm=self.norm, act="leaky", dtype=self.dtype)(h)
+                          norm=self.norm, act="leaky", dtype=self.dtype)(
+                              h, deterministic=det)
         # Penultimate: stride 1.
         nf = min(self.ndf * (2 ** self.n_layers), self.ndf * 8)
         h = ConvBlock(nf, kernel=4, stride=1, pad=1, pad_mode="zero",
-                      norm=self.norm, act="leaky", dtype=self.dtype)(h)
+                      norm=self.norm, act="leaky", dtype=self.dtype)(
+                          h, deterministic=det)
         # Final 1-channel score map (no sigmoid — LSGAN).
         h = ConvBlock(1, kernel=4, stride=1, pad=1, pad_mode="zero",
                       norm="none", act="none", dtype=self.dtype)(h)
@@ -55,11 +58,11 @@ class PixelDiscriminator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         h = ConvBlock(self.ndf, kernel=1, norm="none", act="leaky",
                       dtype=self.dtype)(x)
         h = ConvBlock(self.ndf * 2, kernel=1, norm=self.norm, act="leaky",
-                      dtype=self.dtype)(h)
+                      dtype=self.dtype)(h, deterministic=deterministic)
         h = ConvBlock(1, kernel=1, norm="none", act="none", dtype=self.dtype)(h)
         return h
 

@@ -41,14 +41,17 @@ class ResnetGenerator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         ngf = self.ngf
+        det = deterministic
         # c7s1-64: ReflectionPad(3) + 7x7 conv + IN + ReLU
         h = ConvBlock(ngf, kernel=7, pad=3, pad_mode="reflect", norm=self.norm,
-                      act="relu", dtype=self.dtype)(x)
+                      act="relu", dtype=self.dtype)(x, deterministic=det)
         # Downsample: 3x3 s2 zero-pad-1 convs, 64->128->256
         h = ConvBlock(ngf * 2, kernel=3, stride=2, pad=1, pad_mode="zero",
-                      norm=self.norm, act="relu", dtype=self.dtype)(h)
+                      norm=self.norm, act="relu", dtype=self.dtype)(
+                          h, deterministic=det)
         h = ConvBlock(ngf * 4, kernel=3, stride=2, pad=1, pad_mode="zero",
-                      norm=self.norm, act="relu", dtype=self.dtype)(h)
+                      norm=self.norm, act="relu", dtype=self.dtype)(
+                          h, deterministic=det)
         # Residual trunk — optionally rematerialized: trades a second forward
         # for not keeping 2 activations per block live through the backward
         # (HBM headroom for big crops / global batches).
@@ -61,8 +64,8 @@ class ResnetGenerator(nn.Module):
                           dtype=self.dtype,
                           name=f"ResidualBlock_{i}")(h, deterministic)
         # Upsample: transposed 3x3 s2 convs, 256->128->64
-        h = DeconvBlock(ngf * 2, norm=self.norm, dtype=self.dtype)(h)
-        h = DeconvBlock(ngf, norm=self.norm, dtype=self.dtype)(h)
+        h = DeconvBlock(ngf * 2, norm=self.norm, dtype=self.dtype)(h, det)
+        h = DeconvBlock(ngf, norm=self.norm, dtype=self.dtype)(h, det)
         # c7s1-out head
         h = ConvBlock(self.output_nc, kernel=7, pad=3, pad_mode="reflect",
                       norm="none", act="none", dtype=self.dtype)(h)
@@ -108,7 +111,9 @@ class _UnetBlock(nn.Module):
                 h = fused
             else:
                 n = norm_layer()
-                if n is not None:
+                if isinstance(n, nn.BatchNorm):
+                    h = n(h, use_running_average=deterministic)
+                elif n is not None:
                     h = n(h)
 
         if self.submodule is not None:
@@ -127,7 +132,9 @@ class _UnetBlock(nn.Module):
             h = fused
         else:
             n = norm_layer()
-            if n is not None:
+            if isinstance(n, nn.BatchNorm):
+                h = n(h, use_running_average=deterministic)
+            elif n is not None:
                 h = n(h)
         if self.use_dropout:
             h = nn.Dropout(rate=0.5, deterministic=deterministic)(h)

@@ -122,36 +122,23 @@ def get_norm(norm: str) -> Callable[[], Optional[nn.Module]]:
     """Norm-layer selector (reference ``get_norm_layer`` — SURVEY.md §2).
 
     Returns a zero-arg factory; 'none' yields None (caller skips the layer).
-    'batch' uses batch statistics per step (train-mode semantics) — the
-    reference only ever runs norm layers in training mode inside its loops.
+    'batch' is ``torch.nn.BatchNorm2d`` semantics: affine, eps 1e-5, running
+    stats with momentum 0.1 (flax momentum 0.9 — new = 0.9·old + 0.1·batch);
+    batch statistics in training (``deterministic=False``), running averages
+    at eval. The stats live in the ``batch_stats`` collection, threaded
+    through the trainers. One documented divergence from torch: the running
+    variance EMA uses the biased batch variance (flax convention) where
+    torch feeds the unbiased one — a (N·H·W)/(N·H·W−1) factor on the EMA
+    inputs only; normalization itself matches.
     """
     if norm == "instance":
         return lambda: InstanceNorm(affine=False)
     if norm == "batch":
-        # Train-mode batch norm without running stats: statistically identical
-        # to instance norm computed over (N, H, W) — implemented as a thin
-        # module to stay stateless/jit-friendly (no mutable collections).
-        return lambda: _BatchStatNorm()
+        return lambda: nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                                    dtype=jnp.float32)
     if norm == "none":
         return lambda: None
     raise ValueError(f"unknown norm: {norm!r} (expected instance|batch|none)")
-
-
-class _BatchStatNorm(nn.Module):
-    """Affine norm over (N, H, W) using current-batch statistics."""
-
-    eps: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2), keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
-        return (y * scale + bias).astype(x.dtype)
 
 
 class ConvBlock(nn.Module):
@@ -174,11 +161,14 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array | None = None,
-                 params_only: bool = False):
+                 params_only: bool = False, deterministic: bool = True):
         """``skip`` is added after norm+act (fused into the Pallas kernel on
         TPU — the ResidualBlock tail). ``params_only=True`` declares and
         returns (kernel, bias) without computing — used by the fused
-        whole-ResidualBlock kernel to reuse this module's param tree."""
+        whole-ResidualBlock kernel to reuse this module's param tree.
+        ``deterministic`` is torch's train/eval mode: False during training
+        (batch-norm uses batch statistics and records running averages —
+        callers must make ``batch_stats`` mutable then)."""
         w = self.param(
             "kernel",
             conv_kernel_init(0.02),
@@ -210,10 +200,10 @@ class ConvBlock(nn.Module):
                 if fence:
                     x = jax.lax.optimization_barrier(x)
         else:
-            # Experimental fence for the zero-pad (downsample/PatchGAN) convs
-            # (CYCLEGAN_TPU_BARRIER_SD; default off pending its own A/B).
-            fence = (os.environ.get("CYCLEGAN_TPU_BARRIER_SD", "off") == "on"
-                     and jax.default_backend() == "tpu")
+            # Fence the zero-pad (downsample/PatchGAN) convs too
+            # (CYCLEGAN_TPU_BARRIER_SD=auto|on|off): measured 24.43 vs 22.41
+            # steps/s at 256x256 b1 with/without on v5e.
+            fence = _fence("CYCLEGAN_TPU_BARRIER_SD")
             if fence:
                 x = jax.lax.optimization_barrier(x)
             x = F.conv2d(x, w, b, stride=self.stride, padding=self.pad, compute_dtype=self.dtype)
@@ -224,7 +214,9 @@ class ConvBlock(nn.Module):
         if fused is not None:
             return fused
         norm_layer = get_norm(self.norm)()
-        if norm_layer is not None:
+        if isinstance(norm_layer, nn.BatchNorm):
+            x = norm_layer(x, use_running_average=deterministic)
+        elif norm_layer is not None:
             x = norm_layer(x)
         if self.act == "relu":
             x = jax.nn.relu(x)
@@ -268,15 +260,14 @@ class DeconvBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         w = self.param(
             "kernel",
             conv_kernel_init(0.02),
             (self.kernel, self.kernel, x.shape[-1], self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        fence = (os.environ.get("CYCLEGAN_TPU_BARRIER_SD", "off") == "on"
-                 and jax.default_backend() == "tpu")
+        fence = _fence("CYCLEGAN_TPU_BARRIER_SD")
         if fence:
             x = jax.lax.optimization_barrier(x)
         x = F.conv2d_transpose(
@@ -294,7 +285,9 @@ class DeconvBlock(nn.Module):
         if fused is not None:
             return fused
         norm_layer = get_norm(self.norm)()
-        if norm_layer is not None:
+        if isinstance(norm_layer, nn.BatchNorm):
+            x = norm_layer(x, use_running_average=deterministic)
+        elif norm_layer is not None:
             x = norm_layer(x)
         if self.act == "relu":
             x = jax.nn.relu(x)
@@ -327,10 +320,10 @@ class ResidualBlock(nn.Module):
         mega = self._try_megakernel(cb0, cb1, x)
         if mega is not None:
             return mega
-        h = cb0(x)
+        h = cb0(x, deterministic=deterministic)
         if self.use_dropout:
             h = nn.Dropout(rate=0.5, deterministic=deterministic)(h)
-        return cb1(h, skip=x)
+        return cb1(h, skip=x, deterministic=deterministic)
 
     def _try_megakernel(self, cb0, cb1, x):
         """Whole-block Pallas kernel (CYCLEGAN_TPU_RESBLOCK=auto|off|

@@ -119,12 +119,28 @@ class CycleGANTrainer:
         # Dropout: fresh masks per forward call (reference semantics); inert
         # when use_dropout is off.
         rng0, *dkeys = jax.random.split(state.rng, 6)
-        det = not self.cfg.use_dropout
+        use_dropout = self.cfg.use_dropout
 
-        def _apply(model, params, x, k):
-            return model.apply(
-                params, x, deterministic=det,
-                rngs={"dropout": k} if not det else None)
+        # All applies run in torch train mode (``deterministic=False``):
+        # dropout active when configured; batch norm on batch statistics
+        # with running averages recorded. ``store`` chains the updated
+        # ``batch_stats`` across same-net applies (grads through them are
+        # identically zero — Adam is a no-op on stats; the EMA write-back
+        # below is authoritative). D applies inside the G phase normalize
+        # with batch statistics too but their EMA updates are discarded
+        # (store=None) — the reference records those as well; divergence
+        # documented in docs/PARITY.md.
+        def _apply(model, params_or_store, x, k=None, name=None):
+            store = params_or_store if name is not None else None
+            params = store[name] if store is not None else params_or_store
+            rngs = {"dropout": k} if (use_dropout and k is not None) else None
+            if "batch_stats" in params:
+                y, upd = model.apply(params, x, deterministic=False,
+                                     rngs=rngs, mutable=["batch_stats"])
+                if store is not None:
+                    store[name] = {**params, **jax.lax.stop_gradient(upd)}
+                return y
+            return model.apply(params, x, deterministic=False, rngs=rngs)
 
         # Same-network applications are concatenated along batch: instance
         # norm is per-sample, so this is mathematically identical to separate
@@ -137,31 +153,40 @@ class CycleGANTrainer:
         b = batch["unlab_image"].shape[0]
 
         def g_loss_fn(g_params):
-            g_i2l, g_l2i = g_params
+            gs = {"g_i2l": g_params[0], "g_l2i": g_params[1]}
             if fuse:
                 seg_out = _apply(
-                    self.G_i2l, g_i2l,
+                    self.G_i2l, gs,
                     jnp.concatenate([batch["unlab_image"], batch["lab_image"]]),
-                    dkeys[0])
+                    dkeys[0], name="g_i2l")
                 fake_lab = jax.nn.softmax(seg_out[:b], axis=-1)
                 sup_logits = seg_out[b:]
                 l2i_out = _apply(
-                    self.G_l2i, g_l2i,
-                    jnp.concatenate([real_lab_oh, fake_lab]), dkeys[1])
+                    self.G_l2i, gs,
+                    jnp.concatenate([real_lab_oh, fake_lab]), dkeys[1],
+                    name="g_l2i")
                 fake_img, rec_img = l2i_out[:b], l2i_out[b:]
             else:
                 fake_lab = jax.nn.softmax(
-                    _apply(self.G_i2l, g_i2l, batch["unlab_image"], dkeys[0]),
-                    axis=-1)
-                sup_logits = _apply(self.G_i2l, g_i2l, batch["lab_image"], dkeys[4])
-                fake_img = _apply(self.G_l2i, g_l2i, real_lab_oh, dkeys[1])
-                rec_img = _apply(self.G_l2i, g_l2i, fake_lab, dkeys[2])
+                    _apply(self.G_i2l, gs, batch["unlab_image"], dkeys[0],
+                           name="g_i2l"), axis=-1)
+                sup_logits = _apply(self.G_i2l, gs, batch["lab_image"],
+                                    dkeys[4], name="g_i2l")
+                fake_img = _apply(self.G_l2i, gs, real_lab_oh, dkeys[1],
+                                  name="g_l2i")
+                rec_img = _apply(self.G_l2i, gs, fake_lab, dkeys[2],
+                                 name="g_l2i")
             # adversarial (LSGAN) — D params are closed-over constants
-            adv_lab = losses.lsgan_loss(self.D_lab.apply(state.d_lab, fake_lab), True)
-            adv_img = losses.lsgan_loss(self.D_img.apply(state.d_img, fake_img), True)
+            # (functional ``set_grad(D, False)``); their stat updates are
+            # discarded here.
+            adv_lab = losses.lsgan_loss(
+                _apply(self.D_lab, state.d_lab, fake_lab), True)
+            adv_img = losses.lsgan_loss(
+                _apply(self.D_img, state.d_img, fake_img), True)
             # cycles
             cyc_img = losses.l1_loss(rec_img, batch["unlab_image"]) * self.lamda
-            rec_lab_logits = _apply(self.G_i2l, g_i2l, fake_img, dkeys[3])
+            rec_lab_logits = _apply(self.G_i2l, gs, fake_img, dkeys[3],
+                                    name="g_i2l")
             cyc_lab = losses.cross_entropy_loss(
                 rec_lab_logits, batch["lab_label"],
                 ignore_index=self.ignore_index) * self.lamda_lab
@@ -173,6 +198,8 @@ class CycleGANTrainer:
                 "g_adv": adv_lab + adv_img, "g_cycle_img": cyc_img,
                 "g_cycle_lab": cyc_lab, "g_sup": sup, "g_total": total,
                 "fake_lab": fake_lab, "fake_img": fake_img,
+                "bn": {n: t["batch_stats"] for n, t in gs.items()
+                       if "batch_stats" in t},
             }
             return total, aux
 
@@ -181,6 +208,11 @@ class CycleGANTrainer:
         g_updates, g_opt = self.g_tx.update(
             g_grads, state.g_opt, (state.g_i2l, state.g_l2i))
         g_i2l, g_l2i = optax.apply_updates((state.g_i2l, state.g_l2i), g_updates)
+        g_bn = aux.pop("bn")
+        if "g_i2l" in g_bn:
+            g_i2l = {**g_i2l, "batch_stats": g_bn["g_i2l"]}
+        if "g_l2i" in g_bn:
+            g_l2i = {**g_l2i, "batch_stats": g_bn["g_l2i"]}
 
         # Pool phase: detached fakes through the replay buffers.
         # pool_size=0 bypasses replay (fresh fakes go straight to D) — used by
@@ -196,32 +228,48 @@ class CycleGANTrainer:
             pool_lab, pooled_fake_lab = state.pool_lab, fake_lab
 
         def d_loss_fn(d_params):
-            d_img_p, d_lab_p = d_params
+            ds = {"d_img": d_params[0], "d_lab": d_params[1]}
             if fuse:
-                s_img = self.D_img.apply(d_img_p, jnp.concatenate(
+                s_img = _apply(self.D_img, ds, jnp.concatenate(
                     [batch["unlab_image"], pooled_fake_img.astype(
-                        batch["unlab_image"].dtype)]))
+                        batch["unlab_image"].dtype)]), name="d_img")
                 d_img_loss = 0.5 * (losses.lsgan_loss(s_img[:b], True)
                                     + losses.lsgan_loss(s_img[b:], False))
-                s_lab = self.D_lab.apply(d_lab_p, jnp.concatenate(
-                    [real_lab_oh, pooled_fake_lab.astype(real_lab_oh.dtype)]))
+                s_lab = _apply(self.D_lab, ds, jnp.concatenate(
+                    [real_lab_oh, pooled_fake_lab.astype(real_lab_oh.dtype)]),
+                    name="d_lab")
                 d_lab_loss = 0.5 * (losses.lsgan_loss(s_lab[:b], True)
                                     + losses.lsgan_loss(s_lab[b:], False))
             else:
                 d_img_loss = 0.5 * (
-                    losses.lsgan_loss(self.D_img.apply(d_img_p, batch["unlab_image"]), True)
-                    + losses.lsgan_loss(self.D_img.apply(d_img_p, pooled_fake_img), False))
+                    losses.lsgan_loss(_apply(self.D_img, ds,
+                                             batch["unlab_image"],
+                                             name="d_img"), True)
+                    + losses.lsgan_loss(_apply(self.D_img, ds,
+                                               pooled_fake_img,
+                                               name="d_img"), False))
                 d_lab_loss = 0.5 * (
-                    losses.lsgan_loss(self.D_lab.apply(d_lab_p, real_lab_oh), True)
-                    + losses.lsgan_loss(self.D_lab.apply(d_lab_p, pooled_fake_lab), False))
+                    losses.lsgan_loss(_apply(self.D_lab, ds, real_lab_oh,
+                                             name="d_lab"), True)
+                    + losses.lsgan_loss(_apply(self.D_lab, ds,
+                                               pooled_fake_lab,
+                                               name="d_lab"), False))
             total = d_img_loss + d_lab_loss
-            return total, {"d_img": d_img_loss, "d_lab": d_lab_loss, "d_total": total}
+            return total, {"d_img": d_img_loss, "d_lab": d_lab_loss,
+                           "d_total": total,
+                           "bn": {n: t["batch_stats"] for n, t in ds.items()
+                                  if "batch_stats" in t}}
 
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             (state.d_img, state.d_lab))
         d_updates, d_opt = self.d_tx.update(
             d_grads, state.d_opt, (state.d_img, state.d_lab))
         d_img_p, d_lab_p = optax.apply_updates((state.d_img, state.d_lab), d_updates)
+        d_bn = d_aux.pop("bn")
+        if "d_img" in d_bn:
+            d_img_p = {**d_img_p, "batch_stats": d_bn["d_img"]}
+        if "d_lab" in d_bn:
+            d_lab_p = {**d_lab_p, "batch_stats": d_bn["d_lab"]}
 
         new_state = CycleGANState(
             g_i2l=g_i2l, g_l2i=g_l2i, d_img=d_img_p, d_lab=d_lab_p,

@@ -60,20 +60,38 @@ class SupervisedTrainer:
 
     def train_step(self, state: SupervisedState, batch: dict
                    ) -> tuple[SupervisedState, dict]:
-        """(state, batch) -> (state, metrics); jit/donate me."""
+        """(state, batch) -> (state, metrics); jit/donate me.
+
+        Runs the net in train mode (``deterministic=False`` — torch
+        ``.train()``): dropout active when configured, batch norm on batch
+        statistics with running averages recorded (the ``batch_stats``
+        collection is threaded through the state; its grads are identically
+        zero, so the Adam step is a no-op on it and the EMA update below is
+        authoritative).
+        """
         rng, k_drop = jax.random.split(state.rng)
-        det = not self.cfg.use_dropout
+        rngs = {"dropout": k_drop} if self.cfg.use_dropout else None
+        has_bn = "batch_stats" in state.params
 
         def loss_fn(params):
-            logits = self.model.apply(
-                params, batch["image"], deterministic=det,
-                rngs={"dropout": k_drop} if not det else None)
-            return losses.cross_entropy_loss(
+            if has_bn:
+                logits, upd = self.model.apply(
+                    params, batch["image"], deterministic=False, rngs=rngs,
+                    mutable=["batch_stats"])
+            else:
+                logits = self.model.apply(
+                    params, batch["image"], deterministic=False, rngs=rngs)
+                upd = {}
+            loss = losses.cross_entropy_loss(
                 logits, batch["label"], ignore_index=self.ignore_index)
+            return loss, jax.lax.stop_gradient(upd)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, stats_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if has_bn:
+            params = {**params, **stats_upd}
         return (
             SupervisedState(params, opt_state, rng, state.step + 1),
             {"ce_loss": loss},
