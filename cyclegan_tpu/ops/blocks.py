@@ -37,10 +37,19 @@ def _pallas_mode() -> str:
     return os.environ.get("CYCLEGAN_TPU_PALLAS", "off")
 
 
-def _fence(env: str) -> bool:
-    """Shared optimization-barrier gate: auto (default) = on-TPU only."""
+def _fence(env: str, batch: int) -> bool:
+    """Shared optimization-barrier gate: auto (default) = on-TPU only, and
+    only for small per-step batches (static shape). The space-to-batch conv
+    pathology the fences fix is a small-batch phenomenon; at batch >= 8 the
+    barriers instead block XLA's buffer reuse/remat and sent the 256² b32
+    config 11.7 GB over HBM (measured OOM)."""
     mode = os.environ.get(env, "auto")
-    return mode == "on" or (mode == "auto" and jax.default_backend() == "tpu")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return (mode == "auto" and batch <= 4
+            and jax.default_backend() == "tpu")
 
 
 _pallas_self_check: bool | None = None
@@ -191,7 +200,7 @@ class ConvBlock(nn.Module):
                 # Measured end-to-end on v5e 256x256 b1: 16.95 -> 19.43
                 # steps/s fencing the 7x7s, -> 22.76 also fencing the 3x3s.
                 fence = _fence("CYCLEGAN_TPU_BARRIER7" if self.kernel >= 5
-                               else "CYCLEGAN_TPU_BARRIER3")
+                               else "CYCLEGAN_TPU_BARRIER3", x.shape[0])
                 x = F.reflect_pad(x, self.pad)
                 if fence:
                     x = jax.lax.optimization_barrier(x)
@@ -203,7 +212,7 @@ class ConvBlock(nn.Module):
             # Fence the zero-pad (downsample/PatchGAN) convs too
             # (CYCLEGAN_TPU_BARRIER_SD=auto|on|off): measured 24.43 vs 22.41
             # steps/s at 256x256 b1 with/without on v5e.
-            fence = _fence("CYCLEGAN_TPU_BARRIER_SD")
+            fence = _fence("CYCLEGAN_TPU_BARRIER_SD", x.shape[0])
             if fence:
                 x = jax.lax.optimization_barrier(x)
             x = F.conv2d(x, w, b, stride=self.stride, padding=self.pad, compute_dtype=self.dtype)
@@ -267,7 +276,7 @@ class DeconvBlock(nn.Module):
             (self.kernel, self.kernel, x.shape[-1], self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        fence = _fence("CYCLEGAN_TPU_BARRIER_SD")
+        fence = _fence("CYCLEGAN_TPU_BARRIER_SD", x.shape[0])
         if fence:
             x = jax.lax.optimization_barrier(x)
         x = F.conv2d_transpose(
@@ -326,13 +335,15 @@ class ResidualBlock(nn.Module):
         return cb1(h, skip=x, deterministic=deterministic)
 
     def _try_megakernel(self, cb0, cb1, x):
-        """Whole-block Pallas kernel (CYCLEGAN_TPU_RESBLOCK=auto|off|
+        """Whole-block Pallas kernel (CYCLEGAN_TPU_RESBLOCK=off|auto|
         interpret; docs/KERNELS.md). Same param tree — the ConvBlocks only
-        declare their weights. Default AUTO per the measured end-to-end A/B
-        (v5e, 128x128 b1 full semi-sup step: 66.9 fused vs 61.8 XLA steps/s);
-        `supported()` restricts it to shapes where the fusion fits VMEM, so
-        unsupported shapes (e.g. the 256-crop trunk) fall through to XLA."""
-        mode = os.environ.get("CYCLEGAN_TPU_RESBLOCK", "auto")
+        declare their weights. Measured history at 128x128 b1 (full step,
+        v5e): pre-fence XLA 61.8 < fused 66.9 steps/s (auto was default);
+        with the conv fusion fences the XLA path reaches 82.7 vs 68.5 fused
+        — the fences fix the pathology the megakernel was compensating for,
+        so the default is OFF again. `supported()` restricts the kernel to
+        shapes where the fusion fits VMEM."""
+        mode = os.environ.get("CYCLEGAN_TPU_RESBLOCK", "off")
         if mode == "off" or self.norm != "instance" or self.use_dropout:
             return None
         if x.shape[-1] != self.features:
