@@ -187,7 +187,7 @@ class ConvBlock(nn.Module):
         if params_only:
             return w, b
         if self.pad_mode == "reflect":
-            if self._use_gemm_conv():
+            if self._use_gemm_conv(x.shape[-1]):
                 x = F.conv2d_reflect_gemm(x, w, b, compute_dtype=self.dtype)
             else:
                 # Fence the generator convs from XLA's fusion choices
@@ -233,7 +233,7 @@ class ConvBlock(nn.Module):
             x = F.leaky_relu(x, 0.2)
         return x if skip is None else x + skip
 
-    def _use_gemm_conv(self) -> bool:
+    def _use_gemm_conv(self, cin: int) -> bool:
         """im2col-GEMM routing for the 7x7 stem/head convs
         (CYCLEGAN_TPU_CONV7=auto|on|off). auto = TPU only: it is a pure-XLA
         rewrite with identical math but a different accumulation order, so
@@ -241,14 +241,18 @@ class ConvBlock(nn.Module):
         'on'. Only stride-1 'same' geometry qualifies."""
         if self.stride != 1 or 2 * self.pad != self.kernel - 1 or self.kernel < 5:
             return False
-        # Default OFF: the measured end-to-end A/B on v5e (256x256 b1) was
-        # 11.5 steps/s GEMM vs 16.9 XLA — the autodiff'd unfold backward
-        # materializes a (N*H*W, k*k*C) cotangent (411 MB for the stem).
-        # Re-flip to auto if/when the custom-VJP variant measures faster.
+        # Modes: off (default) | on (everywhere) | auto (TPU) | head (TPU,
+        # only C_in >= 32 — the generator heads, where the im2col contraction
+        # k*k*C_in = 3136 is MXU-deep). History: full GEMM lost its pre-fence
+        # A/B (11.5-12.4 vs 16.9 steps/s); per-site re-evaluation pending.
         mode = os.environ.get("CYCLEGAN_TPU_CONV7", "off")
         if mode == "on":
             return True
-        return mode == "auto" and jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
+        if mode == "auto":
+            return True
+        return mode == "head" and cin >= 32
 
 
 class DeconvBlock(nn.Module):
