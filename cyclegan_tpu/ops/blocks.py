@@ -204,8 +204,15 @@ class ConvBlock(nn.Module):
                 x = F.reflect_pad(x, self.pad)
                 if fence:
                     x = jax.lax.optimization_barrier(x)
-                x = F.conv2d(x, w, b, stride=self.stride, padding=0,
-                             compute_dtype=self.dtype)
+                cd = self.dtype
+                if self._use_dw_fused(x.shape):
+                    # Pallas weight-grad path for the trunk 3x3 convs
+                    # (CYCLEGAN_TPU_DW3; kernels/conv_dw.py).
+                    y = F.conv2d_valid_dw_fused(x.astype(cd), w.astype(cd))
+                    x = y + b.astype(y.dtype) if b is not None else y
+                else:
+                    x = F.conv2d(x, w, b, stride=self.stride, padding=0,
+                                 compute_dtype=cd)
                 if fence:
                     x = jax.lax.optimization_barrier(x)
         else:
@@ -232,6 +239,22 @@ class ConvBlock(nn.Module):
         elif self.act == "leaky":
             x = F.leaky_relu(x, 0.2)
         return x if skip is None else x + skip
+
+    def _use_dw_fused(self, xp_shape) -> bool:
+        """Route the trunk 3x3 convs through the Pallas weight-grad VJP
+        (CYCLEGAN_TPU_DW3=auto|on|off; default off until its hardware A/B
+        lands). auto = TPU only, small batch (the XLA dw conv is only
+        pathological there)."""
+        mode = os.environ.get("CYCLEGAN_TPU_DW3", "off")
+        if mode == "off":
+            return False
+        if mode not in ("on", "auto"):
+            return False
+        if mode == "auto" and (jax.default_backend() != "tpu"
+                               or xp_shape[0] > 4):
+            return False
+        return F.use_dw_fused(xp_shape, self.features, self.kernel,
+                              self.stride, jnp.dtype(self.dtype).itemsize)
 
     def _use_gemm_conv(self, cin: int) -> bool:
         """im2col-GEMM routing for the 7x7 stem/head convs

@@ -195,6 +195,55 @@ def conv2d(
     return out
 
 
+@jax.custom_vjp
+def conv2d_valid_dw_fused(xp: jax.Array, w: jax.Array) -> jax.Array:
+    """Stride-1 VALID conv whose VJP computes the weight grad with the
+    Pallas kernel in :mod:`cyclegan_tpu.kernels.conv_dw` (the trunk-shape
+    dw conv is XLA's weak spot at batch 1 — docs/KERNELS.md round-2).
+
+    Forward and input-grad stay on XLA's conv path (they are fine there);
+    only dw is replaced. Callers gate via :func:`use_dw_fused`.
+    """
+    return lax.conv_general_dilated(
+        xp, w, (1, 1), "VALID", dimension_numbers=_DIMS,
+        preferred_element_type=xp.dtype)
+
+
+def _dwf_fwd(xp, w):
+    return conv2d_valid_dw_fused(xp, w), (xp, w)
+
+
+def _dwf_bwd(res, dy):
+    xp, w = res
+    k = w.shape[0]
+    # dxp: standard transposed conv — full zero pad + rot180, channels
+    # swapped. Same XLA path autodiff would pick.
+    dyp = jnp.pad(dy, ((0, 0), (k - 1, k - 1), (k - 1, k - 1), (0, 0)))
+    wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
+    dxp = lax.conv_general_dilated(
+        dyp, wt.astype(dy.dtype), (1, 1), "VALID", dimension_numbers=_DIMS,
+        preferred_element_type=dy.dtype)
+    from cyclegan_tpu.kernels.conv_dw import conv_dw
+
+    interpret = jax.default_backend() != "tpu"
+    dw = conv_dw(xp, dy, k, interpret=interpret).astype(w.dtype)
+    return dxp, dw
+
+
+conv2d_valid_dw_fused.defvjp(_dwf_fwd, _dwf_bwd)
+
+
+def use_dw_fused(xp_shape, out_ch: int, kernel: int, stride, itemsize: int) -> bool:
+    """Routing predicate for :func:`conv2d_valid_dw_fused` (the
+    CYCLEGAN_TPU_DW3 gate lives at the ConvBlock level)."""
+    if kernel != 3 or stride not in (1, (1, 1)):
+        return False
+    from cyclegan_tpu.kernels.conv_dw import supported
+
+    n, hp, wp, cin = xp_shape
+    return supported(xp_shape, (n, hp - 2, wp - 2, out_ch), itemsize)
+
+
 def conv2d_transpose(
     x: jax.Array,
     w: jax.Array,
