@@ -54,3 +54,47 @@ def test_import_reproduces_torch_outputs(tmp_path):
         np.testing.assert_allclose(
             np.asarray(trainer.D_lab.apply(d_lab, ohj)).transpose(0, 3, 1, 2),
             D_lab(oh).numpy(), atol=5e-5)
+
+
+def test_import_adam_moments_roundtrip():
+    """Optimizer moments transfer: run 3 torch Adam steps, import, and the
+    optax mu/nu + counts must equal the torch exp_avg/exp_avg_sq/step
+    (with the weight-layout transposes)."""
+    from tools.import_torch_checkpoint import import_adam_moments
+
+    torch.manual_seed(2)
+    n_classes, ngf = 4, 8
+    G_a = ResnetG(3, n_classes, ngf, 6, tanh=False)
+    G_b = ResnetG(n_classes, 3, ngf, 6, tanh=True)
+    opt = torch.optim.Adam(
+        list(G_a.parameters()) + list(G_b.parameters()),
+        lr=2e-4, betas=(0.5, 0.999))
+    for _ in range(3):
+        x = torch.randn(1, 3, 32, 32)
+        oh = torch.randn(1, n_classes, 32, 32)
+        loss = G_a(x).square().mean() + G_b(oh).square().mean()
+        opt.zero_grad(); loss.backward(); opt.step()
+
+    cfg = Config(gen_net="resnet_6blocks", ngf=ngf, ndf=8, bf16=False,
+                 crop_height=32, crop_width=32)
+    trainer = CycleGANTrainer(cfg, n_classes, 3, steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    new_opt = import_adam_moments(
+        opt.state_dict(), [G_a.state_dict(), G_b.state_dict()],
+        [state.g_i2l, state.g_l2i], state.g_opt)
+    adam = new_opt[0]
+    assert int(adam.count) == 3
+    # first conv weight of G_a: torch param id 0
+    st0 = opt.state_dict()["state"][0]
+    mu_leaf = jax.tree_util.tree_flatten_with_path(adam.mu[0])[0]
+    kernels = [(p, v) for p, v in mu_leaf if p[-1].key == "kernel"]
+    # match by shape to the (7,7,3,ngf) stem kernel
+    want = np.asarray(st0["exp_avg"]).transpose(2, 3, 1, 0)
+    got = next(np.asarray(v) for p, v in kernels if v.shape == want.shape)
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    # nu strictly positive where gradients flowed
+    nu0 = next(np.asarray(v) for p, v in
+               jax.tree_util.tree_flatten_with_path(adam.nu[0])[0]
+               if v.shape == want.shape)
+    assert (nu0 >= 0).all() and nu0.max() > 0

@@ -2,10 +2,11 @@
 
 The reference saves one ``latest.ckpt`` dict: epoch + 4 net state-dicts
 (Gab/Gba/Da/Db) + 2 optimizer state-dicts (SURVEY.md §3e). This tool converts
-the four net state-dicts into our NHWC/HWIO Flax param pytrees and writes an
-Orbax checkpoint that ``--training`` auto-resumes from (optimizer moments are
-re-initialized — Adam state is architecture-layout-specific and the reference
-semantics recover within a few steps).
+the four net state-dicts into our NHWC/HWIO Flax param pytrees, maps the two
+Adam state-dicts (exp_avg / exp_avg_sq / step) onto the optax states with
+the same layout transposes, and writes an Orbax checkpoint that
+``--training`` auto-resumes from. When the checkpoint carries no optimizer
+state the moments are re-initialized (and it says so).
 
 Usage:
   python tools/import_torch_checkpoint.py latest.ckpt ./checkpoints \
@@ -122,6 +123,75 @@ def import_net(torch_sd: dict, jax_params, *, has_deconv: bool = True):
     return params
 
 
+def import_adam_moments(torch_opt_sd: dict, net_sds: list, jax_trees: list,
+                        opt_state):
+    """Map a torch ``optim.Adam.state_dict()`` onto the optax
+    ``chain(scale_by_adam, scale_by_learning_rate)`` state.
+
+    torch's per-param state ids follow the order params were handed to the
+    optimizer — ``chain(netA.parameters(), netB.parameters())`` in the
+    reference — which is registration order: each conv's weight then bias
+    (instance norm is affine-free, so convs are the only params). The
+    ``exp_avg``/``exp_avg_sq`` tensors get the SAME OIHW->HWIO transposes
+    as their weights; the shared step counter seeds both optax counts (the
+    LR staircase therefore resumes at the right decay position).
+
+    Returns the new opt_state; raises on count mismatches.
+    """
+    import jax.numpy as jnp
+
+    state_map = torch_opt_sd["state"]
+    mus, nus = [], []
+    idx = 0
+    step = 0
+
+    def set_in(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k.key]
+        node[path[-1].key] = value
+
+    for sd, jt in zip(net_sds, jax_trees):
+        entries = _conv_entries(sd)
+        paths = _leaf_paths(jt)
+        if len(entries) != len(paths):
+            raise ValueError("conv count mismatch in optimizer import")
+        mu = jax.tree.map(jnp.zeros_like, jt)
+        nu = jax.tree.map(jnp.zeros_like, jt)
+        for (kname, w, b), (path, old_kernel) in zip(entries, paths):
+            is_deconv = any("Deconv" in getattr(k, "key", "") for k in path)
+            st = state_map.get(idx, None)
+            if st is not None:
+                step = max(step, int(st["step"]))
+                for field, tree in (("exp_avg", mu), ("exp_avg_sq", nu)):
+                    m = np.asarray(st[field])
+                    cand = _to_hwio(m, is_deconv)
+                    if cand.shape != old_kernel.shape:
+                        cand = _to_hwio(m, not is_deconv)
+                    set_in(tree, path, jnp.asarray(cand))
+            idx += 1
+            if b is not None:
+                st = state_map.get(idx, None)
+                if st is not None:
+                    bias_path = list(path[:-1])
+                    for field, tree in (("exp_avg", mu), ("exp_avg_sq", nu)):
+                        node = tree
+                        for k in bias_path:
+                            node = node[k.key]
+                        node["bias"] = jnp.asarray(np.asarray(st[field]))
+                idx += 1
+        mus.append(mu)
+        nus.append(nu)
+
+    adam = opt_state[0]._replace(
+        count=jnp.asarray(step, jnp.int32), mu=tuple(mus), nu=tuple(nus))
+    rest = list(opt_state[1:])
+    for i, s in enumerate(rest):
+        if hasattr(s, "count"):
+            rest[i] = s._replace(count=jnp.asarray(step, jnp.int32))
+    return (adam, *rest)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("torch_ckpt")
@@ -156,12 +226,32 @@ def main() -> None:
                 return ckpt[n]
         raise KeyError(f"none of {names} in checkpoint keys {list(ckpt)}")
 
+    g_i2l_sd = find("Gsi", "Gab", "G_A", "netG_A")
+    g_l2i_sd = find("Gis", "Gba", "G_B", "netG_B")
+    d_img_sd = find("Di", "Da", "D_A", "netD_A")
+    d_lab_sd = find("Ds", "Db", "D_B", "netD_B")
     state = state._replace(
-        g_i2l=import_net(find("Gsi", "Gab", "G_A", "netG_A"), state.g_i2l),
-        g_l2i=import_net(find("Gis", "Gba", "G_B", "netG_B"), state.g_l2i),
-        d_img=import_net(find("Di", "Da", "D_A", "netD_A"), state.d_img),
-        d_lab=import_net(find("Ds", "Db", "D_B", "netD_B"), state.d_lab),
+        g_i2l=import_net(g_i2l_sd, state.g_i2l),
+        g_l2i=import_net(g_l2i_sd, state.g_l2i),
+        d_img=import_net(d_img_sd, state.d_img),
+        d_lab=import_net(d_lab_sd, state.d_lab),
     )
+    # Optimizer moments (reference saves 2 Adam state-dicts — SURVEY.md §3e;
+    # param order in each = chain(netA.parameters(), netB.parameters())).
+    for keys, sds, trees, attr, tx_state in (
+        (("g_optimizer", "g_opt", "optimizer_G"), (g_i2l_sd, g_l2i_sd),
+         (state.g_i2l, state.g_l2i), "g_opt", state.g_opt),
+        (("d_optimizer", "d_opt", "optimizer_D"), (d_img_sd, d_lab_sd),
+         (state.d_img, state.d_lab), "d_opt", state.d_opt),
+    ):
+        opt_sd = next((ckpt[k] for k in keys if k in ckpt), None)
+        if opt_sd is not None:
+            state = state._replace(**{attr: import_adam_moments(
+                opt_sd, list(sds), list(trees), tx_state)})
+            print(f"imported optimizer moments for {attr}")
+        else:
+            print(f"no optimizer state for {attr} in checkpoint "
+                  f"(looked for {keys}); moments re-initialized")
     epoch = args.epoch if args.epoch is not None else int(ckpt.get("epoch", 0))
     mngr = CheckpointManager(args.out_dir)
     mngr.save(epoch, jax.device_get(state))
