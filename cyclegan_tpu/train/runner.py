@@ -146,7 +146,7 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
             n += 1
             total_steps += 1
             profiler.maybe_stop(total_steps)
-            if n % cfg.log_every == 0:
+            if n % cfg.log_every == 0 and primary:
                 sps = n / (time.perf_counter() - t0)
                 flush_pending()
                 pending = (dict(step=total_steps, epoch=epoch,

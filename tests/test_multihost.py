@@ -186,3 +186,72 @@ def test_two_process_dp_matches_single_process():
         np.testing.assert_allclose(
             got[0]["metrics1"][key], ref_sums["metrics1"][key], rtol=tol,
             err_msg=f"{key} diverged between 2-process and 1-process")
+
+
+_RUNNER_WORKER = r"""
+import json, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+COORD, PID, WORKDIR = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address=COORD, num_processes=2,
+                           process_id=PID)
+sys.path.insert(0, %(root)r)
+
+from jax.experimental import multihost_utils
+
+multihost_utils.sync_global_devices("gloo-warmup")
+
+import jax.numpy as jnp
+from cyclegan_tpu.train.runner import run_cyclegan
+from cyclegan_tpu.utils.config import Config
+
+cfg = Config(dataset="synthetic", gen_net="resnet_6blocks", ngf=4, ndf=4,
+             bf16=False, crop_height=24, crop_width=24, batch_size=8,
+             pool_size=2, labeled_fraction=0.5, epochs=1, decay_epoch=1,
+             dataset_size=16, validation_every=1, log_every=1,
+             checkpoint_dir=WORKDIR + "/ckpt", results_dir=WORKDIR + "/res",
+             loader="grain")
+result = run_cyclegan(cfg, max_steps=2)
+print("RUNNER_DONE " + json.dumps({"pid": PID, "val": result}), flush=True)
+""" % {"root": str(ROOT)}
+
+
+@pytest.mark.slow
+def test_two_process_runner_end_to_end(tmp_path):
+    """The FULL runner (grain loader with record sharding, sharded train
+    step, sharded eval, orbax checkpointing, primary-gated logging) across
+    two real processes."""
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _RUNNER_WORKER, coord, str(pid), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+            assert p.returncode == 0, f"runner worker failed:\n{out[-5000:]}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    vals = []
+    for out in outs:
+        line = next(ln for ln in out.splitlines()
+                    if ln.startswith("RUNNER_DONE "))
+        vals.append(json.loads(line[len("RUNNER_DONE "):])["val"])
+    # both processes computed the same (psum'd) validation metrics
+    assert vals[0].keys() == vals[1].keys() and "miou" in vals[0]
+    for k in vals[0]:
+        np.testing.assert_allclose(vals[0][k], vals[1][k], rtol=1e-5)
+    # checkpoint written exactly once (primary host writes)
+    ckpts = list((tmp_path / "ckpt").iterdir())
+    assert len(ckpts) >= 1
