@@ -48,8 +48,13 @@ def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
     shard = None
     if jax.process_count() > 1:
         shard = (jax.process_index(), jax.process_count())
+    resize_hw = None
+    if train and cfg.resize_height is not None:
+        resize_hw = (cfg.resize_height,
+                     cfg.resize_width or cfg.resize_height)
     kw = dict(batch_size=cfg.batch_size, crop_hw=cfg.crop_hw, train=train,
-              seed=seed, drop_last=drop_last, process_shard=shard)
+              seed=seed, drop_last=drop_last, process_shard=shard,
+              resize_hw=resize_hw)
     if cfg.loader == "grain":
         from cyclegan_tpu.data.grain_loader import GrainLoader
 
