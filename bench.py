@@ -145,6 +145,39 @@ def measure_jax_pipeline(size: int, batch: int, steps: int, warmup: int, *,
     return {"steps_per_sec_e2e": e2e, "host_batches_per_sec": host_rate}
 
 
+def measure_jax_supervised(size: int, batch: int, steps: int, warmup: int, *,
+                           gen_net: str = "resnet_6blocks",
+                           classes: int = 21) -> float:
+    """BASELINE config 1: supervised-only CE seg step (the minimum slice)."""
+    import jax
+
+    from cyclegan_tpu.parallel import make_mesh, replicate_state, shard_batch, jit_step
+    from cyclegan_tpu.train.supervised import SupervisedTrainer
+    from cyclegan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", gen_net=gen_net, crop_height=size,
+                 crop_width=size, batch_size=batch, bf16=True,
+                 epochs=100, decay_epoch=50)
+    tr = SupervisedTrainer(cfg, classes, 3, steps_per_epoch=100)
+    mesh = make_mesh(1)
+    state = replicate_state(tr.init_state(jax.random.PRNGKey(0)), mesh)
+    step = jit_step(tr.train_step)
+    rng = jax.random.PRNGKey(1)
+    batch_d = shard_batch({
+        "image": jax.random.uniform(rng, (batch, size, size, 3), minval=-1, maxval=1),
+        "label": jax.random.randint(rng, (batch, size, size), 0, classes),
+    }, mesh)
+    m = None
+    for _ in range(warmup):
+        state, m = step(state, batch_d)
+    jax.device_get(m if m is not None else jax.tree.leaves(state.params)[0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, batch_d)
+    jax.device_get(m)
+    return steps / (time.perf_counter() - t0)
+
+
 def _resolve_platform(retries: int = 3, wait_s: int = 30) -> str:
     """TPU if the axon tunnel registers (it is flaky — retry), else CPU."""
     import time as _time
@@ -180,6 +213,9 @@ def main() -> None:
                     help="feed the step through the real Loader (host "
                          "pipeline + C++ pixel kernels) instead of "
                          "device-resident synthetic tensors")
+    ap.add_argument("--supervised", action="store_true",
+                    help="BASELINE config 1: supervised-only CE step "
+                         "(ResNet-6) instead of the full semi-sup system")
     args = ap.parse_args()
 
     platform = _resolve_platform()
@@ -190,6 +226,19 @@ def main() -> None:
         args.steps, args.warmup = 2, 1
         args.size, args.width = 128, None
         gen_net = "resnet_6blocks"
+
+    if args.supervised:
+        sps = measure_jax_supervised(args.size, args.batch, args.steps,
+                                     args.warmup, classes=args.classes)
+        print(json.dumps({
+            "metric": f"supervised_train_steps_per_sec_{args.size}x"
+                      f"{args.size}_b{args.batch}",
+            "value": round(sps, 4),
+            "unit": "steps/sec/chip",
+            "vs_baseline": None,
+            "platform": platform,
+        }))
+        return
 
     if args.pipeline:
         r = measure_jax_pipeline(args.size, args.batch, args.steps, args.warmup)
