@@ -188,7 +188,10 @@ class ConvBlock(nn.Module):
             return w, b
         if self.pad_mode == "reflect":
             if self._use_gemm_conv(x.shape[-1]):
-                x = F.conv2d_reflect_gemm(x, w, b, compute_dtype=self.dtype)
+                bwd = ("xla" if os.environ.get("CYCLEGAN_TPU_CONV7")
+                       == "fwdgemm" else "gemm")
+                x = F.conv2d_reflect_gemm(x, w, b, compute_dtype=self.dtype,
+                                          bwd=bwd)
             else:
                 # Fence the generator convs from XLA's fusion choices
                 # (CYCLEGAN_TPU_BARRIER7 for kernel>=5, CYCLEGAN_TPU_BARRIER3
@@ -273,7 +276,7 @@ class ConvBlock(nn.Module):
             return True
         if jax.default_backend() != "tpu":
             return False
-        if mode == "auto":
+        if mode in ("auto", "fwdgemm"):
             return True
         return mode == "head" and cin >= 32
 

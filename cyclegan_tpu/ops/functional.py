@@ -126,12 +126,45 @@ def _conv_gemm_bwd(res, dy):
 _conv_gemm_core.defvjp(_conv_gemm_fwd, _conv_gemm_bwd)
 
 
+@jax.custom_vjp
+def _gemm_fwd_xla_bwd_core(x: jax.Array, w: jax.Array) -> jax.Array:
+    """im2col-GEMM FORWARD with XLA's own conv backward.
+
+    The GEMM forward turns the lane-starved 7x7 stem/head convs into one
+    MXU-deep dot; the backward stays exactly what XLA autodiff would build
+    for the plain reflect-pad conv (its fused dx/dw/optimizer chains beat
+    every hand-written alternative tried this round — docs/KERNELS.md
+    ledger). Gated by CYCLEGAN_TPU_CONV7=fwdgemm."""
+    return _conv_gemm_core(x, w)
+
+
+def _gfxb_fwd(x, w):
+    k = w.shape[0]
+
+    def plain(x, w):
+        xp = reflect_pad(x, (k - 1) // 2)
+        return lax.conv_general_dilated(
+            xp, w, (1, 1), "VALID", dimension_numbers=_DIMS,
+            preferred_element_type=x.dtype)
+
+    _, vjp = jax.vjp(plain, x, w)
+    return _conv_gemm_core(x, w), vjp
+
+
+def _gfxb_bwd(vjp, dy):
+    return vjp(dy)
+
+
+_gemm_fwd_xla_bwd_core.defvjp(_gfxb_fwd, _gfxb_bwd)
+
+
 def conv2d_reflect_gemm(
     x: jax.Array,
     w: jax.Array,
     b: jax.Array | None = None,
     *,
     compute_dtype: jnp.dtype | None = None,
+    bwd: str = "gemm",
 ) -> jax.Array:
     """Stride-1 'same' reflect-pad conv as an explicit im2col GEMM.
 
@@ -149,7 +182,8 @@ def conv2d_reflect_gemm(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    out = _conv_gemm_core(x, w)
+    core = _conv_gemm_core if bwd == "gemm" else _gemm_fwd_xla_bwd_core
+    out = core(x, w)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
