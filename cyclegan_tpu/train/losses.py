@@ -47,8 +47,16 @@ def cross_entropy_loss(
     # take_along_axis: per-element gathers (and their scatter VJPs) are
     # TPU-hostile — the gather alone measured 1.5 ms/step in the 256² train
     # step profile, vs ~µs for the masked reduction. Same math.
-    onehot = jax.nn.one_hot(safe_labels, logits.shape[-1], dtype=log_probs.dtype)
-    picked = jnp.sum(log_probs * onehot, axis=-1)
+    # CYCLEGAN_TPU_CE=gather restores the gather form for A/B.
+    import os
+
+    if os.environ.get("CYCLEGAN_TPU_CE") == "gather":
+        picked = jnp.take_along_axis(
+            log_probs, safe_labels[..., None], axis=-1)[..., 0]
+    else:
+        onehot = jax.nn.one_hot(safe_labels, logits.shape[-1],
+                                dtype=log_probs.dtype)
+        picked = jnp.sum(log_probs * onehot, axis=-1)
     picked = jnp.where(valid, picked, 0.0)
     count = jnp.maximum(jnp.sum(valid), 1)
     return -jnp.sum(picked) / count
