@@ -178,6 +178,34 @@ def measure_jax_supervised(size: int, batch: int, steps: int, warmup: int, *,
     return steps / (time.perf_counter() - t0)
 
 
+def measure_jax_inference(size: int, batch: int, steps: int, warmup: int, *,
+                          classes: int = 21,
+                          gen_net: str = "resnet_9blocks") -> float:
+    """Inference/test-path throughput (SURVEY.md §3c): segmentation forward
+    + argmax, images/sec."""
+    import jax
+
+    from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+    from cyclegan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", gen_net=gen_net, crop_height=size,
+                 crop_width=size, batch_size=batch, bf16=True)
+    tr = CycleGANTrainer(cfg, classes, 3, steps_per_epoch=1)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    predict = jax.jit(tr.predict)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, size, size, 3),
+                           minval=-1, maxval=1)
+    p = None
+    for _ in range(warmup):
+        p = predict(state.g_i2l, x)
+    jax.device_get(p.ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        p = predict(state.g_i2l, x)
+    jax.device_get(p.ravel()[0])
+    return steps * batch / (time.perf_counter() - t0)
+
+
 def _resolve_platform(retries: int = 3, wait_s: int = 30) -> str:
     """TPU if the axon tunnel registers (it is flaky — retry), else CPU."""
     import time as _time
@@ -216,6 +244,8 @@ def main() -> None:
     ap.add_argument("--supervised", action="store_true",
                     help="BASELINE config 1: supervised-only CE step "
                          "(ResNet-6) instead of the full semi-sup system")
+    ap.add_argument("--inference", action="store_true",
+                    help="test-path throughput: seg forward + argmax img/s")
     args = ap.parse_args()
 
     platform = _resolve_platform()
@@ -226,6 +256,19 @@ def main() -> None:
         args.steps, args.warmup = 2, 1
         args.size, args.width = 128, None
         gen_net = "resnet_6blocks"
+
+    if args.inference:
+        ips = measure_jax_inference(args.size, args.batch, args.steps,
+                                    args.warmup, classes=args.classes)
+        print(json.dumps({
+            "metric": f"inference_images_per_sec_{args.size}x{args.size}"
+                      f"_b{args.batch}",
+            "value": round(ips, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "platform": platform,
+        }))
+        return
 
     if args.supervised:
         sps = measure_jax_supervised(args.size, args.batch, args.steps,

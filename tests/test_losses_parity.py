@@ -98,3 +98,20 @@ class TestAdamParity:
             params = optax.apply_updates(params, updates)
         np.testing.assert_allclose(np.asarray(params), wt.detach().numpy(),
                                    atol=1e-6)
+
+
+def test_ce_onehot_and_gather_variants_identical(monkeypatch):
+    """The TPU-optimized one-hot CE and the gather form (CYCLEGAN_TPU_CE=
+    gather) are the same function."""
+    import numpy as np
+
+    from cyclegan_tpu.train.losses import cross_entropy_loss
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 8, 8, 21)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 21, size=(2, 8, 8)))
+    labels = labels.at[0, 0, 0].set(255)  # ignore pixel
+    a = float(cross_entropy_loss(logits, labels))
+    monkeypatch.setenv("CYCLEGAN_TPU_CE", "gather")
+    b = float(cross_entropy_loss(logits, labels))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
