@@ -267,16 +267,15 @@ class ConvBlock(nn.Module):
         'on'. Only stride-1 'same' geometry qualifies."""
         if self.stride != 1 or 2 * self.pad != self.kernel - 1 or self.kernel < 5:
             return False
-        # Modes: off (default) | on (everywhere) | auto (TPU) | head (TPU,
-        # only C_in >= 32 — the generator heads, where the im2col contraction
-        # k*k*C_in = 3136 is MXU-deep). History: full GEMM lost its pre-fence
-        # A/B (11.5-12.4 vs 16.9 steps/s); per-site re-evaluation pending.
+        # Modes: off/auto (default — every GEMM variant lost its hardware
+        # A/B, docs/KERNELS.md ledger) | on (everywhere) | head (TPU,
+        # C_in >= 32) | fwdgemm (TPU; GEMM forward, XLA backward).
         mode = os.environ.get("CYCLEGAN_TPU_CONV7", "off")
         if mode == "on":
             return True
         if jax.default_backend() != "tpu":
             return False
-        if mode in ("auto", "fwdgemm"):
+        if mode == "fwdgemm":
             return True
         return mode == "head" and cin >= 32
 
