@@ -49,6 +49,7 @@ def get_args(argv=None) -> argparse.Namespace:
             f.type if isinstance(f.type, type) else type(getattr(defaults, f.name)))
         if arg_type is None and getattr(defaults, f.name) is None:
             arg_type = {"data_root": str, "profile_dir": str,
+                        "coordinator_address": str,
                         "lamda_lab": float}.get(f.name, int)
         if isinstance(getattr(defaults, f.name), bool):
             p.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true"),

@@ -32,6 +32,8 @@ def maybe_initialize(cfg) -> bool:
 
     Returns True when running multi-process after the call.
     """
+    import os
+
     if getattr(cfg, "coordinator_address", None):
         if jax.process_count() == 1 and not _initialized():
             jax.distributed.initialize(
@@ -39,6 +41,11 @@ def maybe_initialize(cfg) -> bool:
                 num_processes=cfg.num_processes,
                 process_id=cfg.process_id,
             )
+    elif os.environ.get("CYCLEGAN_TPU_DISTRIBUTED") == "1" and not _initialized():
+        # Cloud TPU pod slices auto-detect coordinator/process info from the
+        # runtime metadata; opt in explicitly since a failed auto-detect
+        # hangs single-host runs.
+        jax.distributed.initialize()
     return jax.process_count() > 1
 
 

@@ -62,6 +62,11 @@ class Config:
     remat: bool = False                # rematerialize generator trunks
     num_devices: int | None = None     # None = all visible
     spatial_shards: int = 1            # spatial (H) partitioning factor
+    # multi-host (fleet) DP — docs/MULTIHOST.md; all three set => one JAX
+    # process per host over a global mesh (jax.distributed)
+    coordinator_address: str | None = None
+    num_processes: int | None = None
+    process_id: int | None = None
 
     # io
     checkpoint_dir: str = "./checkpoints"
