@@ -6,12 +6,14 @@ processes. Each process materializes only its row-shard of the global batch
 (``Loader(process_shard=...)``) and the jitted SPMD train step runs with
 cross-process collectives.
 
-Proof obligations:
+Proof obligations (see the in-test comments for the probed rationale):
 - per-process sharding: each process builds half the global batch, and the
-  assembled global batch is bit-identical to the single-process one (the
-  loader's per-(seed, epoch, position) augment RNG guarantees it);
-- identical global grads: after 2 train steps, every parameter checksum
-  matches the single-process 8-device run to fp32 tolerance on both hosts.
+  assembled per-device shards are bit-identical to the single-process run;
+- the two worker processes agree bit-for-bit on grads, params and metrics;
+- vs the single-process 8-device run: the global CE grad matches to psum
+  reduction-order noise and the supervised/cycle losses reproduce;
+- the FULL runner works end-to-end across processes (second test): grain
+  record sharding, sharded train+eval, orbax multihost checkpointing.
 """
 
 import json
