@@ -56,3 +56,25 @@ def test_unet_generator_trainer_step():
     state, m = jax.jit(tr.train_step, donate_argnums=0)(
         state, _batch(jax.random.PRNGKey(1), 1, 128, 128, 3, 5))
     assert np.isfinite(float(m["g_total"]))
+
+
+@pytest.mark.parametrize("name", ["voc_supervised_128", "voc_semisup_256",
+                                  "cityscapes_semisup_512x256", "acdc_semisup",
+                                  "voc_dp8_bf16"])
+def test_every_baseline_preset_initializes(name):
+    """All 5 BASELINE.json presets construct their trainer and init state
+    at the preset's real shapes (init only — steps are covered at small
+    shapes elsewhere; CI has no TPU)."""
+    from cyclegan_tpu.data.datasets import DATASET_SPECS
+    from cyclegan_tpu.utils.config import preset
+
+    cfg = preset(name)
+    classes, in_ch, _ = DATASET_SPECS[cfg.dataset]
+    if name == "voc_supervised_128":
+        tr = SupervisedTrainer(cfg, classes, in_ch, steps_per_epoch=10)
+    else:
+        tr = CycleGANTrainer(cfg, classes, in_ch, steps_per_epoch=10)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    leaves = jax.tree.leaves(state)
+    assert leaves and all(np.isfinite(np.asarray(x)).all() for x in leaves
+                          if hasattr(x, "dtype") and x.dtype.kind == "f")
