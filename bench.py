@@ -244,12 +244,15 @@ def main() -> None:
     ap.add_argument("--supervised", action="store_true",
                     help="BASELINE config 1: supervised-only CE step "
                          "(ResNet-6) instead of the full semi-sup system")
+    ap.add_argument("--gen_net", default="resnet_9blocks",
+                    help="generator family (resnet_9blocks|resnet_6blocks|"
+                         "unet_128|unet_256)")
     ap.add_argument("--inference", action="store_true",
                     help="test-path throughput: seg forward + argmax img/s")
     args = ap.parse_args()
 
     platform = _resolve_platform()
-    gen_net = "resnet_9blocks"
+    gen_net = args.gen_net
     if platform == "cpu-fallback":
         # TPU tunnel down: bound wall time (CPU compile of the full ResNet-9
         # step takes ~20 min) — shrink to a clearly-labeled degraded config.
