@@ -73,13 +73,14 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
 
 
 def measure_jax_pipeline(size: int, batch: int, steps: int, warmup: int, *,
-                         loader_kind: str = "native") -> dict:
+                         loader_kind: str = "native",
+                         gen_net: str = "resnet_9blocks") -> dict:
     """steps/sec with the REAL input pipeline feeding the chip (VERDICT.md
     round-1 item 3): synthetic corpus -> Loader (thread prefetch + C++ pixel
-    kernels) or GrainLoader -> shard_batch -> jitted step. Measures the
-    end-to-end rate AND the pure-host batch production rate so input-bound
-    configs are visible."""
-    import numpy as np
+    kernels) or GrainLoader -> shard_batch -> jitted step, using the runner's
+    actual path: persistent loaders + zip epoch pairing (VERDICT r2 item 4).
+    Measures the end-to-end rate AND the pure-host batch production rate so
+    input-bound configs are visible."""
     import jax
 
     from cyclegan_tpu.data.datasets import make_dataset, split_labeled
@@ -88,7 +89,7 @@ def measure_jax_pipeline(size: int, batch: int, steps: int, warmup: int, *,
     from cyclegan_tpu.train.cyclegan import CycleGANTrainer
     from cyclegan_tpu.utils.config import Config
 
-    cfg = Config(dataset="synthetic", gen_net="resnet_9blocks",
+    cfg = Config(dataset="synthetic", gen_net=gen_net,
                  crop_height=size, crop_width=size, batch_size=batch,
                  bf16=True, epochs=200, decay_epoch=100)
     n_items = max(4 * batch * (steps + warmup) // 7, 16)
@@ -96,18 +97,29 @@ def measure_jax_pipeline(size: int, batch: int, steps: int, warmup: int, *,
     # Larger-than-crop synthetic sources so crop/flip/normalize do real work.
     ds.synthetic_size_hw = (size + 64, size + 64)
     lab_ds, unlab_ds = split_labeled(ds, 0.5, seed=0)
-    mk = lambda d, s: Loader(d, batch_size=batch, crop_hw=(size, size),
-                             train=True, seed=s, prefetch=8)
+    if loader_kind == "grain":
+        from cyclegan_tpu.data.grain_loader import GrainLoader
+
+        mk = lambda d, s: GrainLoader(d, batch_size=batch,
+                                      crop_hw=(size, size), train=True, seed=s)
+    elif loader_kind == "native":
+        mk = lambda d, s: Loader(d, batch_size=batch, crop_hw=(size, size),
+                                 train=True, seed=s, prefetch=8)
+    else:
+        raise ValueError(f"unknown loader {loader_kind!r} (native|grain)")
+    lab_loader, unlab_loader = mk(lab_ds, 0), mk(unlab_ds, 1)
     trainer = CycleGANTrainer(cfg, 21, 3, steps_per_epoch=100)
     mesh = make_mesh(1)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
     step = jit_step(trainer.train_step)
 
     def stream():
+        # The runner's shape: loaders built ONCE, zip-paired per epoch
+        # (epoch ends at the shorter stream — reference semantics).
         e = 0
         while True:
-            for lab_b, unlab_b in paired_iterator(mk(lab_ds, 0), mk(unlab_ds, 1),
-                                                  e, mode="cycle"):
+            for lab_b, unlab_b in paired_iterator(lab_loader, unlab_loader,
+                                                  e, mode="zip"):
                 yield {"lab_image": lab_b["image"],
                        "lab_label": lab_b["label"],
                        "unlab_image": unlab_b["image"]}
@@ -249,6 +261,8 @@ def main() -> None:
                          "unet_128|unet_256)")
     ap.add_argument("--inference", action="store_true",
                     help="test-path throughput: seg forward + argmax img/s")
+    ap.add_argument("--loader", default="native", choices=["native", "grain"],
+                    help="input pipeline backend for --pipeline mode")
     args = ap.parse_args()
 
     platform = _resolve_platform()
@@ -260,12 +274,17 @@ def main() -> None:
         args.size, args.width = 128, None
         gen_net = "resnet_6blocks"
 
+    def _tag(default: str) -> str:
+        """Metric-name suffix naming the generator family when non-default."""
+        return "" if gen_net == default else f"_{gen_net}"
+
     if args.inference:
         ips = measure_jax_inference(args.size, args.batch, args.steps,
-                                    args.warmup, classes=args.classes)
+                                    args.warmup, classes=args.classes,
+                                    gen_net=gen_net)
         print(json.dumps({
             "metric": f"inference_images_per_sec_{args.size}x{args.size}"
-                      f"_b{args.batch}",
+                      f"_b{args.batch}{_tag('resnet_9blocks')}",
             "value": round(ips, 2),
             "unit": "images/sec/chip",
             "vs_baseline": None,
@@ -274,11 +293,14 @@ def main() -> None:
         return
 
     if args.supervised:
+        if args.gen_net == ap.get_default("gen_net"):
+            gen_net = "resnet_6blocks"  # config-1 default family
         sps = measure_jax_supervised(args.size, args.batch, args.steps,
-                                     args.warmup, classes=args.classes)
+                                     args.warmup, classes=args.classes,
+                                     gen_net=gen_net)
         print(json.dumps({
             "metric": f"supervised_train_steps_per_sec_{args.size}x"
-                      f"{args.size}_b{args.batch}",
+                      f"{args.size}_b{args.batch}{_tag('resnet_6blocks')}",
             "value": round(sps, 4),
             "unit": "steps/sec/chip",
             "vs_baseline": None,
@@ -287,10 +309,14 @@ def main() -> None:
         return
 
     if args.pipeline:
-        r = measure_jax_pipeline(args.size, args.batch, args.steps, args.warmup)
+        r = measure_jax_pipeline(args.size, args.batch, args.steps,
+                                 args.warmup, loader_kind=args.loader,
+                                 gen_net=gen_net)
+        loader_tag = "" if args.loader == "native" else f"_{args.loader}"
         print(json.dumps({
             "metric": f"cyclegan_pipeline_steps_per_sec_{args.size}x"
-                      f"{args.size}_b{args.batch}",
+                      f"{args.size}_b{args.batch}{_tag('resnet_9blocks')}"
+                      f"{loader_tag}",
             "value": round(r["steps_per_sec_e2e"], 4),
             "unit": "steps/sec/chip",
             "vs_baseline": None,

@@ -2,11 +2,16 @@
 loader feeding device-resident batches"; SURVEY.md §1 L3).
 
 Drop-in alternative to :class:`cyclegan_tpu.data.loader.Loader` built on
-``grain.python.DataLoader``: deterministic per-epoch shuffling via
-IndexSampler, the same crop/flip/normalize transform (numpy path — per-record
-parallelism comes from grain worker processes instead of the batch-level C++
-kernels), and optional multi-process workers + multi-host sharding
-(ShardByJaxProcess) for fleet runs.
+``grain.python.DataLoader``, and — since round 3 — **stream-equivalent** to
+it (VERDICT r2 item 4): the epoch permutation comes from the same
+``np.random.default_rng((seed, epoch))`` draw, augment RNG is seeded per
+``(seed, epoch, global_position)``, and multi-host sharding slices batch
+*rows* exactly like Loader. The same ``--seed`` therefore trains on the
+bit-identical global batch stream under either ``--loader`` and any process
+count (asserted by tests/test_loader_equivalence.py). Grain contributes the
+worker-process execution engine, not the sampling semantics: the order and
+positions are precomputed per epoch and grain runs a sequential sampler over
+them.
 
 Select with ``Config.loader = "grain"`` (default "native").
 """
@@ -23,33 +28,47 @@ from cyclegan_tpu.data.datasets import SegmentationDataset
 from cyclegan_tpu.data.transforms import eval_transform, train_transform
 
 
-class _Source(gp.RandomAccessDataSource):
-    """SegmentationDataset as a grain RandomAccessDataSource."""
+class _EpochSource(gp.RandomAccessDataSource):
+    """One epoch's precomputed (dataset index, global position) sequence."""
 
-    def __init__(self, ds: SegmentationDataset):
+    def __init__(self, ds: SegmentationDataset, order: np.ndarray,
+                 positions: np.ndarray):
         self._ds = ds
+        self._order = order
+        self._positions = positions
 
     def __len__(self) -> int:
-        return len(self._ds)
+        return len(self._order)
 
     def __getitem__(self, idx: int):
-        img, lab = self._ds.get(int(idx))
-        return {"image": img, "label": lab}
+        img, lab = self._ds.get(int(self._order[idx]))
+        return {"image": img, "label": lab, "pos": int(self._positions[idx])}
 
 
-class _Transform(gp.RandomMapTransform):
-    def __init__(self, crop_hw, train, resize_hw=None):
+class _Transform(gp.MapTransform):
+    """Deterministic map: augment RNG keyed by (seed, epoch, position) — the
+    same contract as Loader._sample_rng, NOT grain's per-record RNG (which
+    would give a different training stream per loader backend)."""
+
+    def __init__(self, crop_hw, train, resize_hw, seed, epoch,
+                 eval_mode="resize"):
         self._crop_hw = crop_hw
         self._train = train
         self._resize_hw = resize_hw
+        self._seed = seed
+        self._epoch = epoch
+        self._eval_mode = eval_mode
 
-    def random_map(self, record, rng: np.random.Generator):
+    def map(self, record):
         img, lab = record["image"], record["label"]
         if self._train:
+            rng = np.random.default_rng(
+                (self._seed, self._epoch, record["pos"]))
             img, lab = train_transform(img, lab, crop_hw=self._crop_hw,
                                        rng=rng, resize_hw=self._resize_hw)
         else:
-            img, lab = eval_transform(img, lab, crop_hw=self._crop_hw)
+            img, lab = eval_transform(img, lab, crop_hw=self._crop_hw,
+                                      mode=self._eval_mode)
         out = {"image": img}
         if lab is not None:
             out["label"] = lab.astype(np.int32)
@@ -57,7 +76,7 @@ class _Transform(gp.RandomMapTransform):
 
 
 class GrainLoader:
-    """Epoch-aware batch iterator matching Loader's interface."""
+    """Epoch-aware batch iterator matching Loader's interface and stream."""
 
     def __init__(
         self,
@@ -72,6 +91,7 @@ class GrainLoader:
         num_workers: int = 0,
         shard_by_process: bool = False,
         process_shard: tuple[int, int] | None = None,
+        eval_mode: str = "resize",
     ):
         self.ds = ds
         self.batch_size = batch_size  # GLOBAL batch size (all processes)
@@ -79,6 +99,7 @@ class GrainLoader:
         self.train = train
         self.seed = seed
         self.resize_hw = resize_hw
+        self.eval_mode = eval_mode
         self.drop_last = drop_last
         self.num_workers = num_workers
         if shard_by_process and process_shard is None:
@@ -95,41 +116,64 @@ class GrainLoader:
         self._epoch = 0
 
     def steps_per_epoch(self) -> int:
-        """Batches per epoch (global semantics — same on every process).
-
-        Record sharding gives each process ~n/P records batched into
-        rows=B/P, so every process yields the same count: it is the min over
-        processes when n isn't divisible.
-        """
-        n = len(self.ds) // self._nproc
-        return n // self._rows if self.drop_last else -(-n // self._rows)
+        """Batches per epoch (global semantics, identical to Loader)."""
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self, epoch: int | None = None) -> Iterator[dict]:
+        """Iterate one epoch; deterministic given (seed, epoch) and — for the
+        assembled global batch — identical to Loader's for any process count."""
         e = self._epoch if epoch is None else epoch
         self._epoch = e + 1
-        shard = (gp.ShardOptions(shard_index=self._proc,
-                                 shard_count=self._nproc, drop_remainder=True)
-                 if self._nproc > 1 else gp.NoSharding())
+        rng = np.random.default_rng((self.seed, e))
+        idxs = (rng.permutation(len(self.ds)) if self.train
+                else np.arange(len(self.ds)))
+        nb = self.steps_per_epoch()
+        lo = self._proc * self._rows  # this process's rows within each batch
+        order, positions = [], []
+        for k in range(nb):
+            glob = idxs[k * self.batch_size + lo:
+                        k * self.batch_size + lo + self._rows]
+            order.append(glob)
+            positions.append(np.arange(k * self.batch_size + lo,
+                                       k * self.batch_size + lo + len(glob)))
+        order = (np.concatenate(order) if order
+                 else np.zeros((0,), np.int64))
+        positions = (np.concatenate(positions) if positions
+                     else np.zeros((0,), np.int64))
         sampler = gp.IndexSampler(
-            num_records=len(self.ds),
-            shuffle=self.train,
-            # distinct deterministic stream per (seed, epoch), like Loader
-            seed=(self.seed * 100_003 + e) % (2 ** 31),
+            num_records=len(order),
+            shuffle=False,  # order/sharding precomputed above
+            seed=0,
             num_epochs=1,
-            shard_options=shard,
+            shard_options=gp.NoSharding(),
         )
         loader = gp.DataLoader(
-            data_source=_Source(self.ds),
+            data_source=_EpochSource(self.ds, order, positions),
             sampler=sampler,
             operations=[
-                _Transform(self.crop_hw, self.train, self.resize_hw),
-                gp.Batch(batch_size=self._rows,
-                         drop_remainder=self.drop_last),
+                _Transform(self.crop_hw, self.train, self.resize_hw,
+                           self.seed, e, self.eval_mode),
+                gp.Batch(batch_size=self._rows, drop_remainder=False),
             ],
             worker_count=self.num_workers,
         )
+        yielded = 0
         for batch in loader:
             yield self._pad_batch(dict(batch))
+            yielded += 1
+        # A process whose row range falls entirely inside the padding of a
+        # short final eval batch gets nothing from grain — emit all-pad
+        # batches so every process yields steps_per_epoch() batches.
+        while yielded < nb:
+            yield self._pad_batch(self._empty_batch())
+            yielded += 1
+
+    def _empty_batch(self) -> dict:
+        ch, cw = self.crop_hw
+        c = self.ds.in_channels
+        return {"image": np.zeros((0, ch, cw, c), np.float32),
+                "label": np.zeros((0, ch, cw), np.int32)}
 
     def _pad_batch(self, batch: dict) -> dict:
         """Pad a short final eval batch to the per-process row count with

@@ -41,6 +41,7 @@ class Loader:
         drop_last: bool = True,
         prefetch: int = 4,
         process_shard: tuple[int, int] | None = None,
+        eval_mode: str = "resize",
     ):
         self.ds = ds
         self.batch_size = batch_size  # GLOBAL batch size (all processes)
@@ -48,6 +49,7 @@ class Loader:
         self.train = train
         self.seed = seed
         self.resize_hw = resize_hw
+        self.eval_mode = eval_mode
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._epoch = 0
@@ -86,7 +88,8 @@ class Loader:
                     rng=self._sample_rng(epoch, int(pos)),
                     resize_hw=self.resize_hw)
             else:
-                img, lab = eval_transform(img, lab, crop_hw=self.crop_hw)
+                img, lab = eval_transform(img, lab, crop_hw=self.crop_hw,
+                                          mode=self.eval_mode)
             imgs.append(img)
             if lab is not None:
                 labs.append(lab.astype(np.int32))

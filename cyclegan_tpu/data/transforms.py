@@ -125,7 +125,32 @@ def eval_transform(
     lab: np.ndarray | None,
     *,
     crop_hw: tuple[int, int],
+    mode: str = "resize",
 ) -> tuple[np.ndarray, np.ndarray | None]:
-    """Deterministic resize-to-shape for validation (fixed shapes for XLA)."""
-    img, lab = resize_pair(img, lab, crop_hw)
+    """Deterministic val-image shaping (fixed shapes for XLA).
+
+    The reference's eval-resolution convention is an UNVERIFIED assumption
+    (mount empty — SURVEY.md §0, VERDICT r2 missing item 4): parity numbers
+    hold because the torch oracle uses the same convention. Two conventions
+    ship as an escape hatch (``--eval_resize``):
+
+    - ``"resize"`` (default): squash-resize to exactly (crop_h, crop_w).
+    - ``"center_crop"``: aspect-preserving resize of the SHORTER side to the
+      crop size, then center crop (torchvision Resize+CenterCrop semantics).
+    """
+    if mode == "center_crop":
+        ch, cw = crop_hw
+        h, w = img.shape[:2]
+        scale = max(ch / h, cw / w)
+        img, lab = resize_pair(img, lab, (max(ch, int(round(h * scale))),
+                                          max(cw, int(round(w * scale)))))
+        h, w = img.shape[:2]
+        top, left = (h - ch) // 2, (w - cw) // 2
+        img = np.ascontiguousarray(img[top:top + ch, left:left + cw])
+        if lab is not None:
+            lab = np.ascontiguousarray(lab[top:top + ch, left:left + cw])
+    elif mode == "resize":
+        img, lab = resize_pair(img, lab, crop_hw)
+    else:
+        raise ValueError(f"unknown eval mode {mode!r} (resize|center_crop)")
     return normalize(img), lab

@@ -34,8 +34,12 @@ def maybe_initialize(cfg) -> bool:
     """
     import os
 
+    # NOTE: do NOT call jax.process_count()/jax.devices() before initialize()
+    # — those initialize the XLA backend, after which initialize() raises
+    # ("must be called before any JAX calls ..."). Gate ONLY on
+    # _initialized() (a pure client-state probe, no backend touch).
     if getattr(cfg, "coordinator_address", None):
-        if jax.process_count() == 1 and not _initialized():
+        if not _initialized():
             jax.distributed.initialize(
                 coordinator_address=cfg.coordinator_address,
                 num_processes=cfg.num_processes,
@@ -50,8 +54,16 @@ def maybe_initialize(cfg) -> bool:
 
 
 def _initialized() -> bool:
-    state = getattr(jax._src.distributed, "global_state", None)
-    return bool(state is not None and state.client is not None)
+    """Has ``jax.distributed`` been brought up? Backend-touch-free probe."""
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        return bool(is_init())
+    # Fallback for older JAX: the private client-state object.
+    try:
+        state = jax._src.distributed.global_state
+    except AttributeError:
+        return False
+    return getattr(state, "client", None) is not None
 
 
 def process_info() -> tuple[int, int]:

@@ -13,7 +13,24 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
+
+
+def _is_empty(x: Any) -> bool:
+    return getattr(x, "size", 1) == 0
+
+
+# Zero-size arrays (a pool_size=0 run's replay buffers) are rejected by
+# Orbax ("Cannot save arrays with zero size"); they carry no data, so they
+# are masked with this 1-element marker on save and substituted back from
+# the template on restore. The (1,) f32 shape doubles as the on-disk
+# "empty pool" signature read by _with_stored_pool_shapes.
+_EMPTY_MARKER = lambda: jnp.zeros((1,), jnp.float32)
+
+
+def _mask_empty(tree: Any) -> Any:
+    return jax.tree.map(lambda x: _EMPTY_MARKER() if _is_empty(x) else x, tree)
 
 
 class CheckpointManager:
@@ -26,7 +43,7 @@ class CheckpointManager:
         )
 
     def save(self, epoch: int, state: Any) -> None:
-        self._mngr.save(epoch, args=ocp.args.StandardSave(state))
+        self._mngr.save(epoch, args=ocp.args.StandardSave(_mask_empty(state)))
 
     def latest_epoch(self) -> int | None:
         return self._mngr.latest_step()
@@ -37,8 +54,13 @@ class CheckpointManager:
         if step is None:
             return None
         state_template = self._with_stored_pool_shapes(step, state_template)
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                _mask_empty(state_template))
         state = self._mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+        # Re-substitute zero-size leaves (saved as markers) from the template.
+        state = jax.tree.map(
+            lambda orig, got: orig if _is_empty(orig) else got,
+            state_template, state)
         return state, step + 1
 
     def _with_stored_pool_shapes(self, step: int, template: Any) -> Any:
@@ -59,6 +81,13 @@ class CheckpointManager:
             def fix(pool, name):
                 node = tree[name]["buffer"]
                 shape, dtype = tuple(node.shape), node.dtype
+                if shape == (1,):  # the empty-pool marker (pool_size=0 run)
+                    if pool.buffer.size and pool.buffer.shape[0]:
+                        raise ValueError(
+                            f"checkpoint stored an EMPTY {name} (pool_size=0 "
+                            f"run) but this run wants pool shape "
+                            f"{pool.buffer.shape}; resume with --pool_size 0")
+                    return pool
                 if (shape, dtype) != (pool.buffer.shape, pool.buffer.dtype):
                     pool = pool._replace(buffer=jnp.zeros(shape, dtype))
                 return pool
@@ -66,6 +95,8 @@ class CheckpointManager:
             return template._replace(
                 pool_img=fix(template.pool_img, "pool_img"),
                 pool_lab=fix(template.pool_lab, "pool_lab"))
+        except ValueError:
+            raise  # pool-compatibility error — actionable, don't mask
         except Exception:
             return template  # metadata unavailable — use the template as-is
 

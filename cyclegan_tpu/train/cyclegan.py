@@ -126,10 +126,10 @@ class CycleGANTrainer:
         # with running averages recorded. ``store`` chains the updated
         # ``batch_stats`` across same-net applies (grads through them are
         # identically zero — Adam is a no-op on stats; the EMA write-back
-        # below is authoritative). D applies inside the G phase normalize
-        # with batch statistics too but their EMA updates are discarded
-        # (store=None) — the reference records those as well; divergence
-        # documented in docs/PARITY.md.
+        # below is authoritative). D applies inside the G phase record their
+        # stat updates too (the reference's every-train-mode-forward
+        # semantics, SURVEY.md §3a): the D phase then STARTS from those
+        # G-phase-updated running stats.
         def _apply(model, params_or_store, x, k=None, name=None):
             store = params_or_store if name is not None else None
             params = store[name] if store is not None else params_or_store
@@ -154,6 +154,10 @@ class CycleGANTrainer:
 
         def g_loss_fn(g_params):
             gs = {"g_i2l": g_params[0], "g_l2i": g_params[1]}
+            # D params are closed-over constants (functional set_grad(D,
+            # False)) but their batch-stat EMAs ARE recorded — chained
+            # through this store and threaded into the D phase below.
+            d_stats = {"d_img": state.d_img, "d_lab": state.d_lab}
             if fuse:
                 seg_out = _apply(
                     self.G_i2l, gs,
@@ -170,19 +174,21 @@ class CycleGANTrainer:
                 fake_lab = jax.nn.softmax(
                     _apply(self.G_i2l, gs, batch["unlab_image"], dkeys[0],
                            name="g_i2l"), axis=-1)
-                sup_logits = _apply(self.G_i2l, gs, batch["lab_image"],
-                                    dkeys[4], name="g_i2l")
+                sup_logits = None  # applied AFTER the label cycle (below):
+                # the reference's G_i2l forward order is unlab -> fake_img
+                # (cycle) -> lab_img (sup), and batch-norm's EMA is
+                # order-sensitive. Loss values are order-independent (train
+                # mode normalizes with per-forward batch stats).
                 fake_img = _apply(self.G_l2i, gs, real_lab_oh, dkeys[1],
                                   name="g_l2i")
                 rec_img = _apply(self.G_l2i, gs, fake_lab, dkeys[2],
                                  name="g_l2i")
-            # adversarial (LSGAN) — D params are closed-over constants
-            # (functional ``set_grad(D, False)``); their stat updates are
-            # discarded here.
+            # adversarial (LSGAN) — grads flow to G through the D applies;
+            # the D stat updates go into d_stats.
             adv_lab = losses.lsgan_loss(
-                _apply(self.D_lab, state.d_lab, fake_lab), True)
+                _apply(self.D_lab, d_stats, fake_lab, name="d_lab"), True)
             adv_img = losses.lsgan_loss(
-                _apply(self.D_img, state.d_img, fake_img), True)
+                _apply(self.D_img, d_stats, fake_img, name="d_img"), True)
             # cycles
             cyc_img = losses.l1_loss(rec_img, batch["unlab_image"]) * self.lamda
             rec_lab_logits = _apply(self.G_i2l, gs, fake_img, dkeys[3],
@@ -191,6 +197,9 @@ class CycleGANTrainer:
                 rec_lab_logits, batch["lab_label"],
                 ignore_index=self.ignore_index) * self.lamda_lab
             # supervised CE on the labeled subset
+            if sup_logits is None:
+                sup_logits = _apply(self.G_i2l, gs, batch["lab_image"],
+                                    dkeys[4], name="g_i2l")
             sup = losses.cross_entropy_loss(
                 sup_logits, batch["lab_label"], ignore_index=self.ignore_index)
             total = adv_lab + adv_img + cyc_img + cyc_lab + sup
@@ -200,6 +209,8 @@ class CycleGANTrainer:
                 "fake_lab": fake_lab, "fake_img": fake_img,
                 "bn": {n: t["batch_stats"] for n, t in gs.items()
                        if "batch_stats" in t},
+                "d_bn": {n: t["batch_stats"] for n, t in d_stats.items()
+                         if "batch_stats" in t},
             }
             return total, aux
 
@@ -213,6 +224,15 @@ class CycleGANTrainer:
             g_i2l = {**g_i2l, "batch_stats": g_bn["g_i2l"]}
         if "g_l2i" in g_bn:
             g_l2i = {**g_l2i, "batch_stats": g_bn["g_l2i"]}
+
+        # D running stats advanced by the G-phase D forwards: the D phase
+        # STARTS from them (the reference's BatchNorm records every
+        # train-mode forward). No-op under instance norm (no batch_stats).
+        g_d_bn = aux.pop("d_bn")
+        d_img_in = ({**state.d_img, "batch_stats": g_d_bn["d_img"]}
+                    if "d_img" in g_d_bn else state.d_img)
+        d_lab_in = ({**state.d_lab, "batch_stats": g_d_bn["d_lab"]}
+                    if "d_lab" in g_d_bn else state.d_lab)
 
         # Pool phase: detached fakes through the replay buffers.
         # pool_size=0 bypasses replay (fresh fakes go straight to D) — used by
@@ -261,10 +281,10 @@ class CycleGANTrainer:
                                   if "batch_stats" in t}}
 
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            (state.d_img, state.d_lab))
+            (d_img_in, d_lab_in))
         d_updates, d_opt = self.d_tx.update(
-            d_grads, state.d_opt, (state.d_img, state.d_lab))
-        d_img_p, d_lab_p = optax.apply_updates((state.d_img, state.d_lab), d_updates)
+            d_grads, state.d_opt, (d_img_in, d_lab_in))
+        d_img_p, d_lab_p = optax.apply_updates((d_img_in, d_lab_in), d_updates)
         d_bn = d_aux.pop("bn")
         if "d_img" in d_bn:
             d_img_p = {**d_img_p, "batch_stats": d_bn["d_img"]}

@@ -54,7 +54,7 @@ def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
                      cfg.resize_width or cfg.resize_height)
     kw = dict(batch_size=cfg.batch_size, crop_hw=cfg.crop_hw, train=train,
               seed=seed, drop_last=drop_last, process_shard=shard,
-              resize_hw=resize_hw)
+              resize_hw=resize_hw, eval_mode=cfg.eval_resize)
     if cfg.loader == "grain":
         from cyclegan_tpu.data.grain_loader import GrainLoader
 
@@ -76,11 +76,20 @@ def _evaluate(trainer, params, val_loader: Loader, eval_jit, mesh=None) -> dict:
             global_rows = batch["image"].shape[0] * jax.process_count()
             if global_rows % mesh.size == 0:
                 batch = shard_batch(batch, mesh)
+            elif jax.process_count() > 1:
+                # Multi-process: the replicated fallback would feed each
+                # process ONLY its host-local shard — the primary would then
+                # silently report metrics over 1/P of the val split. Refuse.
+                raise ValueError(
+                    f"[eval] global batch {global_rows} not divisible by mesh "
+                    f"size {mesh.size} in a {jax.process_count()}-process run; "
+                    f"pick batch_size so global rows divide the mesh (the "
+                    f"unsharded fallback is single-process only)")
             elif not warned:
-                # Batch smaller than the mesh (e.g. batch 2 on 8 devices):
-                # run eval replicated rather than crash. Loud, not silent —
-                # users who want sharded eval should pick batch_size as a
-                # multiple of the device count.
+                # Single process, batch smaller than the mesh (e.g. batch 2 on
+                # 8 devices): run eval replicated rather than crash. Loud, not
+                # silent — users who want sharded eval should pick batch_size
+                # as a multiple of the device count.
                 print(f"[eval] batch {batch['image'].shape[0]} not divisible "
                       f"by mesh size {mesh.size}; running eval unsharded",
                       flush=True)
@@ -244,7 +253,13 @@ def _dump_samples(cfg: Config, trainer: CycleGANTrainer, state, val_loader: Load
     except ImportError:
         return
     os.makedirs(cfg.results_dir, exist_ok=True)
-    batch = next(iter(val_loader.epoch(0)))
+    # Take ONE batch and explicitly close the epoch generator so the loader's
+    # prefetch thread shuts down deterministically (not via GC finalization).
+    it = val_loader.epoch(0)
+    try:
+        batch = next(it)
+    finally:
+        it.close()
     imgs = batch["image"][:n]
     pred = np.asarray(trainer.predict(state.g_i2l, imgs))
 
@@ -274,7 +289,8 @@ def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
     num_classes, in_ch = _dataset_spec(cfg)
     val_ds = make_dataset(cfg.dataset, cfg.data_root, split="val")
     val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
-                        train=False, drop_last=False)
+                        train=False, drop_last=False,
+                        eval_mode=cfg.eval_resize)
     cls = CycleGANTrainer if semisupervised else SupervisedTrainer
     trainer = cls(cfg, num_classes, in_ch, steps_per_epoch=1)
 

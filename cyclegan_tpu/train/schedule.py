@@ -55,7 +55,7 @@ def make_adam(
 
     optax's ``scale_by_adam`` matches torch.optim.Adam's update (eps added
     after the sqrt of the bias-corrected second moment) — parity is asserted
-    in tests/test_optim_parity.py.
+    in tests/test_losses_parity.py::TestAdamParity.
     """
     return optax.chain(
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps),

@@ -55,6 +55,11 @@ class Config:
     # first, like torchvision Resize + RandomCrop).
     resize_height: int | None = None
     resize_width: int | None = None
+    # Val/test-image shaping convention — an UNVERIFIED reference assumption
+    # (docs/PARITY.md "eval resolution"): "resize" = squash to crop_hw
+    # (default, what the parity oracle uses too); "center_crop" =
+    # torchvision Resize+CenterCrop semantics (escape hatch).
+    eval_resize: str = "resize"
     dataset_size: int | None = None   # subset (e.g. 100-image VOC config 1)
 
     # precision / parallelism

@@ -23,37 +23,45 @@ def torch_convs(module):
             if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d))]
 
 
+def _merge(old: dict, name: str, conv) -> dict:
+    """Conv weights from torch, everything else (e.g. BatchNorm affine
+    params under norm=batch) preserved from the flax tree."""
+    w = deconv_w(conv.weight) if isinstance(conv, torch.nn.ConvTranspose2d) \
+        else conv_w(conv.weight)
+    return {**old.get(name, {}), "kernel": w, "bias": bias(conv.bias)}
+
+
 def inject_resnet_gen(params, tmodel, n_blocks):
-    """Overwrite Flax ResnetGenerator params with a torch ResnetG's weights."""
+    """Overwrite Flax ResnetGenerator conv weights with a torch ResnetG's
+    (non-conv collections — BN affine/batch_stats — are preserved; both
+    frameworks initialize them identically)."""
     convs = torch_convs(tmodel)
     p = jax.tree.map(lambda x: x, params)["params"]
     new = dict(p)
     i = 0
     for name in ["ConvBlock_0", "ConvBlock_1", "ConvBlock_2"]:
-        new[name] = {"kernel": conv_w(convs[i].weight), "bias": bias(convs[i].bias)}
+        new[name] = _merge(p, name, convs[i])
         i += 1
     for b in range(n_blocks):
-        rb = {}
+        rb = dict(p.get(f"ResidualBlock_{b}", {}))
         for j in range(2):
-            rb[f"ConvBlock_{j}"] = {"kernel": conv_w(convs[i].weight),
-                                    "bias": bias(convs[i].bias)}
+            rb[f"ConvBlock_{j}"] = _merge(rb, f"ConvBlock_{j}", convs[i])
             i += 1
         new[f"ResidualBlock_{b}"] = rb
     for d in range(2):
-        new[f"DeconvBlock_{d}"] = {"kernel": deconv_w(convs[i].weight),
-                                   "bias": bias(convs[i].bias)}
+        new[f"DeconvBlock_{d}"] = _merge(p, f"DeconvBlock_{d}", convs[i])
         i += 1
-    new["ConvBlock_3"] = {"kernel": conv_w(convs[i].weight),
-                          "bias": bias(convs[i].bias)}
+    new["ConvBlock_3"] = _merge(p, "ConvBlock_3", convs[i])
     i += 1
     assert i == len(convs)
-    return {"params": new}
+    return {**params, "params": new}
 
 
 def inject_patchgan(params, tmodel):
     convs = torch_convs(tmodel)
+    p = params["params"]
     new = {}
     for k, c in enumerate(convs):
-        new[f"ConvBlock_{k}"] = {"kernel": conv_w(c.weight), "bias": bias(c.bias)}
-    assert len(convs) == len(params["params"])
-    return {"params": new}
+        new[f"ConvBlock_{k}"] = _merge(p, f"ConvBlock_{k}", c)
+    assert len(convs) == len(p)
+    return {**params, "params": new}

@@ -88,6 +88,132 @@ def test_batchnorm_train_eval_and_running_stats_match_torch():
     np.testing.assert_allclose(np.asarray(y_eval), t_eval, rtol=2e-2, atol=2e-2)
 
 
+def _bn_paths_resnet_gen(n_blocks):
+    """Flax batch_stats paths of ResnetGenerator in FORWARD order (= torch's
+    module registration order for ResnetG)."""
+    paths = [("ConvBlock_0",), ("ConvBlock_1",), ("ConvBlock_2",)]
+    for b in range(n_blocks):
+        paths += [(f"ResidualBlock_{b}", "ConvBlock_0"),
+                  (f"ResidualBlock_{b}", "ConvBlock_1")]
+    paths += [("DeconvBlock_0",), ("DeconvBlock_1",)]
+    return paths
+
+
+def _bn_paths_patchgan(n_layers=3):
+    return [(f"ConvBlock_{k}",) for k in range(1, n_layers + 1)]
+
+
+def _flax_bn_stats(variables, paths):
+    out = []
+    for p in paths:
+        node = variables["batch_stats"]
+        for k in p:
+            node = node[k]
+        bn = node["BatchNorm_0"]
+        out.append((np.asarray(bn["mean"]), np.asarray(bn["var"])))
+    return out
+
+
+def _torch_bn_stats(tmodel):
+    return [(m.running_mean.numpy().copy(), m.running_var.numpy().copy())
+            for m in tmodel.modules()
+            if isinstance(m, torch.nn.BatchNorm2d)]
+
+
+def test_full_step_d_running_stats_match_torch():
+    """VERDICT r2 item 5: with --norm batch, a FULL G+D train step must leave
+    the same D running-stat trajectory as torch — including the D forwards
+    that happen inside the G phase (adversarial terms), which torch's
+    BatchNorm records and round-2 discarded. Also locks the G forward ORDER
+    (unlab -> label-cycle -> supervised): BN's EMA is order-sensitive.
+
+    running_mean compares tightly; running_var corrects the documented
+    flax-biased/torch-unbiased EMA-input divergence exactly per layer
+    (n = B*H_l*W_l elements per channel; K train-mode forwards of that net):
+        torch_var = 0.9^K + (flax_var - 0.9^K) * n/(n-1)
+    """
+    import itertools
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from parity_utils import inject_patchgan, inject_resnet_gen
+
+    from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+    from cyclegan_tpu.utils.config import Config
+    from tools.torch_reference import PatchD, ResnetG, train_step as torch_step
+
+    N_CLASSES, SIZE, NGF, NDF, NB, B = 5, 32, 8, 8, 2, 2
+    bn2d = lambda c: torch.nn.BatchNorm2d(c, eps=1e-5, momentum=0.1)
+    torch.manual_seed(0)
+    tmodels = (ResnetG(3, N_CLASSES, NGF, NB, tanh=False, norm=bn2d),
+               ResnetG(N_CLASSES, 3, NGF, NB, tanh=True, norm=bn2d),
+               PatchD(3, NDF, norm=bn2d), PatchD(N_CLASSES, NDF, norm=bn2d))
+
+    cfg = Config(gen_net="resnet_6blocks", ngf=NGF, ndf=NDF, norm="batch",
+                 bf16=False, crop_height=SIZE, crop_width=SIZE, batch_size=B,
+                 pool_size=0, epochs=200, decay_epoch=100)
+    tr = CycleGANTrainer(cfg, N_CLASSES, 3, steps_per_epoch=1000)
+    tr.G_i2l = tr.G_i2l.clone(n_blocks=NB)
+    tr.G_l2i = tr.G_l2i.clone(n_blocks=NB)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state = state._replace(
+        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
+        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
+        d_img=inject_patchgan(state.d_img, tmodels[2]),
+        d_lab=inject_patchgan(state.d_lab, tmodels[3]))
+    state = state._replace(g_opt=tr.g_tx.init((state.g_i2l, state.g_l2i)),
+                           d_opt=tr.d_tx.init((state.d_img, state.d_lab)))
+
+    g = torch.Generator().manual_seed(42)
+    lab_img_t = torch.randn(B, 3, SIZE, SIZE, generator=g)
+    unlab_img_t = torch.randn(B, 3, SIZE, SIZE, generator=g)
+    lab_lab_t = torch.randint(0, N_CLASSES, (B, SIZE, SIZE), generator=g)
+    lab_oh_t = torch.nn.functional.one_hot(lab_lab_t, N_CLASSES) \
+        .permute(0, 3, 1, 2).float()
+    t_opts = (torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
+                                               tmodels[1].parameters()),
+                               2e-4, betas=(0.5, 0.999)),
+              torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
+                                               tmodels[3].parameters()),
+                               2e-4, betas=(0.5, 0.999)))
+    batch = {
+        "lab_image": jnp.asarray(lab_img_t.numpy().transpose(0, 2, 3, 1)),
+        "lab_label": jnp.asarray(lab_lab_t.numpy()).astype(jnp.int32),
+        "unlab_image": jnp.asarray(unlab_img_t.numpy().transpose(0, 2, 3, 1)),
+    }
+    state, _ = jax.jit(tr.train_step, donate_argnums=0)(state, batch)
+    for m in tmodels:
+        m.train()
+    torch_step(tmodels, t_opts, (lab_img_t, lab_lab_t, unlab_img_t, lab_oh_t))
+
+    # BN spatial dims per layer (for the exact var correction): gen layers at
+    # SIZE, SIZE/2, SIZE/4 (stem/downs), trunk at SIZE/4, deconvs back up;
+    # patchgan at SIZE/2/2, /4, then stride-1 (H/4 - 1).
+    gen_hw = [SIZE, SIZE // 2, SIZE // 4] + [SIZE // 4] * (2 * NB) \
+        + [SIZE // 2, SIZE]
+    dis_hw = [SIZE // 4, SIZE // 8, SIZE // 8 - 1]
+    checks = [
+        ("g_i2l", state.g_i2l, tmodels[0], _bn_paths_resnet_gen(NB), 3, gen_hw),
+        ("g_l2i", state.g_l2i, tmodels[1], _bn_paths_resnet_gen(NB), 2, gen_hw),
+        ("d_img", state.d_img, tmodels[2], _bn_paths_patchgan(), 3, dis_hw),
+        ("d_lab", state.d_lab, tmodels[3], _bn_paths_patchgan(), 3, dis_hw),
+    ]
+    for name, variables, tmodel, paths, K, hws in checks:
+        flax_stats = _flax_bn_stats(variables, paths)
+        torch_stats = _torch_bn_stats(tmodel)
+        assert len(flax_stats) == len(torch_stats) == len(hws), name
+        for (fm, fv), (tm, tv), hw in zip(flax_stats, torch_stats, hws):
+            np.testing.assert_allclose(
+                fm, tm, rtol=1e-3, atol=1e-5,
+                err_msg=f"{name}: running_mean trajectory diverged")
+            n = B * hw * hw
+            corrected = 0.9 ** K + (fv - 0.9 ** K) * n / (n - 1)
+            np.testing.assert_allclose(
+                corrected, tv, rtol=1e-3, atol=1e-4,
+                err_msg=f"{name}: running_var trajectory diverged (n={n})")
+
+
 def test_cyclegan_batchnorm_stats_update_through_train_step():
     from cyclegan_tpu.train.cyclegan import CycleGANTrainer
     from cyclegan_tpu.utils.config import Config

@@ -13,7 +13,8 @@ Proof obligations (see the in-test comments for the probed rationale):
 - vs the single-process 8-device run: the global CE grad matches to psum
   reduction-order noise and the supervised/cycle losses reproduce;
 - the FULL runner works end-to-end across processes (second test): grain
-  record sharding, sharded train+eval, orbax multihost checkpointing.
+  row sharding (stream-equivalent to Loader since round 3), sharded
+  train+eval, orbax multihost checkpointing.
 """
 
 import json
@@ -225,7 +226,7 @@ print("RUNNER_DONE " + json.dumps({"pid": PID, "val": result}), flush=True)
 
 @pytest.mark.slow
 def test_two_process_runner_end_to_end(tmp_path):
-    """The FULL runner (grain loader with record sharding, sharded train
+    """The FULL runner (grain loader with row sharding, sharded train
     step, sharded eval, orbax checkpointing, primary-gated logging) across
     two real processes."""
     coord = f"localhost:{_free_port()}"

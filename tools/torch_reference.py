@@ -21,37 +21,38 @@ import torch
 import torch.nn as nn
 
 
-def conv_in_relu(i, o, k, s, p, reflect=False):
+def conv_in_relu(i, o, k, s, p, reflect=False, norm=nn.InstanceNorm2d):
     layers = []
     if reflect:
         layers.append(nn.ReflectionPad2d(p))
         p = 0
-    layers += [nn.Conv2d(i, o, k, s, p), nn.InstanceNorm2d(o), nn.ReLU(True)]
+    layers += [nn.Conv2d(i, o, k, s, p), norm(o), nn.ReLU(True)]
     return layers
 
 
 class ResBlock(nn.Module):
-    def __init__(self, c):
+    def __init__(self, c, norm=nn.InstanceNorm2d):
         super().__init__()
         self.block = nn.Sequential(
-            nn.ReflectionPad2d(1), nn.Conv2d(c, c, 3), nn.InstanceNorm2d(c),
+            nn.ReflectionPad2d(1), nn.Conv2d(c, c, 3), norm(c),
             nn.ReLU(True),
-            nn.ReflectionPad2d(1), nn.Conv2d(c, c, 3), nn.InstanceNorm2d(c))
+            nn.ReflectionPad2d(1), nn.Conv2d(c, c, 3), norm(c))
 
     def forward(self, x):
         return x + self.block(x)
 
 
 class ResnetG(nn.Module):
-    def __init__(self, in_nc, out_nc, ngf=64, n_blocks=9, tanh=True):
+    def __init__(self, in_nc, out_nc, ngf=64, n_blocks=9, tanh=True,
+                 norm=nn.InstanceNorm2d):
         super().__init__()
-        layers = conv_in_relu(in_nc, ngf, 7, 1, 3, reflect=True)
-        layers += conv_in_relu(ngf, ngf * 2, 3, 2, 1)
-        layers += conv_in_relu(ngf * 2, ngf * 4, 3, 2, 1)
-        layers += [ResBlock(ngf * 4) for _ in range(n_blocks)]
+        layers = conv_in_relu(in_nc, ngf, 7, 1, 3, reflect=True, norm=norm)
+        layers += conv_in_relu(ngf, ngf * 2, 3, 2, 1, norm=norm)
+        layers += conv_in_relu(ngf * 2, ngf * 4, 3, 2, 1, norm=norm)
+        layers += [ResBlock(ngf * 4, norm=norm) for _ in range(n_blocks)]
         for c_in, c_out in [(ngf * 4, ngf * 2), (ngf * 2, ngf)]:
             layers += [nn.ConvTranspose2d(c_in, c_out, 3, 2, 1, output_padding=1),
-                       nn.InstanceNorm2d(c_out), nn.ReLU(True)]
+                       norm(c_out), nn.ReLU(True)]
         layers += [nn.ReflectionPad2d(3), nn.Conv2d(ngf, out_nc, 7)]
         if tanh:
             layers.append(nn.Tanh())
@@ -120,17 +121,17 @@ class PixelD(nn.Module):
 
 
 class PatchD(nn.Module):
-    def __init__(self, in_nc, ndf=64, n_layers=3):
+    def __init__(self, in_nc, ndf=64, n_layers=3, norm=nn.InstanceNorm2d):
         super().__init__()
         layers = [nn.Conv2d(in_nc, ndf, 4, 2, 1), nn.LeakyReLU(0.2, True)]
         nf = ndf
         for i in range(1, n_layers):
             nf_new = min(ndf * 2 ** i, ndf * 8)
-            layers += [nn.Conv2d(nf, nf_new, 4, 2, 1), nn.InstanceNorm2d(nf_new),
+            layers += [nn.Conv2d(nf, nf_new, 4, 2, 1), norm(nf_new),
                        nn.LeakyReLU(0.2, True)]
             nf = nf_new
         nf_new = min(ndf * 2 ** n_layers, ndf * 8)
-        layers += [nn.Conv2d(nf, nf_new, 4, 1, 1), nn.InstanceNorm2d(nf_new),
+        layers += [nn.Conv2d(nf, nf_new, 4, 1, 1), norm(nf_new),
                    nn.LeakyReLU(0.2, True), nn.Conv2d(nf_new, 1, 4, 1, 1)]
         self.net = nn.Sequential(*layers)
 
@@ -159,8 +160,11 @@ def train_step(models, opts, batch, lamda=10.0):
     g_opt.zero_grad()
     fake_lab = torch.softmax(G_i2l(unlab_img), 1)
     fake_img = G_l2i(lab_oh)
-    adv = mse(D_lab(fake_lab), torch.ones_like(D_lab(fake_lab))) + \
-          mse(D_img(fake_img), torch.ones_like(D_img(fake_img)))
+    # Single D forward per term (a `ones_like(D(x))` target would run D
+    # twice and double-record batch-norm running stats under --norm batch).
+    dl_out, di_out = D_lab(fake_lab), D_img(fake_img)
+    adv = mse(dl_out, torch.ones_like(dl_out)) + \
+          mse(di_out, torch.ones_like(di_out))
     cyc_img = l1(G_l2i(fake_lab), unlab_img) * lamda
     cyc_lab = ce(G_i2l(fake_img), lab_lab) * lamda
     sup = ce(G_i2l(lab_img), lab_lab)
@@ -173,10 +177,12 @@ def train_step(models, opts, batch, lamda=10.0):
     # makes this baseline *faster*, i.e. conservative for the >=8x target)
     d_opt.zero_grad()
     fl, fi = fake_lab.detach(), fake_img.detach()
-    d_loss = 0.5 * (mse(D_img(unlab_img), torch.ones_like(D_img(unlab_img)))
-                    + mse(D_img(fi), torch.zeros_like(D_img(fi)))) + \
-             0.5 * (mse(D_lab(lab_oh), torch.ones_like(D_lab(lab_oh)))
-                    + mse(D_lab(fl), torch.zeros_like(D_lab(fl))))
+    di_real, di_fake = D_img(unlab_img), D_img(fi)
+    dl_real, dl_fake = D_lab(lab_oh), D_lab(fl)
+    d_loss = 0.5 * (mse(di_real, torch.ones_like(di_real))
+                    + mse(di_fake, torch.zeros_like(di_fake))) + \
+             0.5 * (mse(dl_real, torch.ones_like(dl_real))
+                    + mse(dl_fake, torch.zeros_like(dl_fake)))
     d_loss.backward()
     d_opt.step()
 
