@@ -135,7 +135,8 @@ def _fwd_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref,
         stats_ref[0] = statv[...]
 
 
-def _forward_chunked(x, w1, b1, w2, b2, eps, hc, interpret):
+def _forward_chunked_impl(x, w1, b1, w2, b2, eps, hc, interpret):
+    """Returns (y, vhat, u, s, stats)."""
     n, h, wd, c = x.shape
     assert h % hc == 0, (h, hc)
     k_chunks = h // hc
@@ -152,7 +153,7 @@ def _forward_chunked(x, w1, b1, w2, b2, eps, hc, interpret):
         jax.ShapeDtypeStruct(x.shape, x.dtype),            # s buffer
         jax.ShapeDtypeStruct((n, 4, c), jnp.float32),      # mu1,r1,mu2,r2
     )
-    y, vhat, _, _, stats = pl.pallas_call(
+    y, vhat, u, s, stats = pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps, hc=hc, k_chunks=k_chunks),
         grid=grid,
         in_specs=[anyspec, vmem_full(w1.shape), vmem_full(b1.shape),
@@ -172,7 +173,7 @@ def _forward_chunked(x, w1, b1, w2, b2, eps, hc, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
     )(x, w1, b1, w2, b2)
-    return y, vhat, stats
+    return y, vhat, u, s, stats
 
 
 def residual_block_chunked_fwd(x, w1, b1, w2, b2, *, eps: float = 1e-5,
@@ -183,4 +184,279 @@ def residual_block_chunked_fwd(x, w1, b1, w2, b2, *, eps: float = 1e-5,
     (mu1, r1, mu2, r2 per batch) are the residuals the chunked backward
     consumes. x: (N, H, W, C) with H % hc == 0; w: (3, 3, C, C) HWIO-squared.
     """
-    return _forward_chunked(x, w1, b1, w2, b2, eps, hc, interpret)
+    y, vhat, _, _, stats = _forward_chunked_impl(x, w1, b1, w2, b2, eps, hc,
+                                                 interpret)
+    return y, vhat, stats
+
+
+# ---------------------------------------------------------------------------
+# Chunked backward
+# ---------------------------------------------------------------------------
+#
+# Given residuals (x, vhat, s, stats=[mu1, r1, mu2, r2]) and dy:
+#   shat = (s - mu2) * r2
+#   ds   = r2 * (dy - mean(dy) - shat * mean(dy*shat))          [IN2 vjp]
+#   da   = fold_reflect_pad( conv2^T (ds) )
+#   dv   = da * (vhat > 0)                                       [relu vjp]
+#   du   = r1 * (dv - mean(dv) - vhat * mean(dv*vhat))           [IN1 vjp]
+#   dx   = dy + fold_reflect_pad( conv1^T (du) )                 [+residual]
+#   dw2[t] = pad(relu(vhat))[t-shift]^T ds ;  dw1[t] = pad(x)[t-shift]^T du
+#   db1 = db2 = 0 (a pre-IN per-channel constant cancels in the mean)
+#
+# All means are GLOBAL over (H, W) -> three phases like the forward:
+#   P0: accumulate sum(dy), sum(dy*shat)                          (chunked)
+#   P1: ds (chunk + 1-row ZERO halo -- gradients have no reflect rows),
+#       da/dv chunk (+ explicit fold terms at the plane edges), accumulate
+#       sum(dv), sum(dv*vhat) and the dw2 partials; dv chunk -> HBM
+#   P2: du (chunk + halo from the dv buffer), dx chunk, dw1 partials.
+#
+# dw accumulators live in VMEM scratch across the whole (N, 3, K) grid
+# (zeroed once at the very first step) -- in-kernel dw accumulation over both
+# chunks and batch.
+
+
+def _igrad_local(g_local, w, rows, wd, c):
+    """conv^T of a local (rows, W, C) f32 grad block -> padded-coords local
+    block (rows+2, W+2, C) f32 (row j <- g rows j-2..j, like the full-plane
+    _conv3x3_igrad)."""
+    dpad = jnp.zeros((rows + 2, wd + 2, c), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            contrib = jnp.dot(g_local.reshape(rows * wd, c),
+                              w[dy, dx].T.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            dpad = dpad + jnp.pad(
+                contrib.reshape(rows, wd, c),
+                ((dy, 2 - dy), (dx, 2 - dx), (0, 0)))
+    return dpad
+
+
+def _fold_cols(dpad_rows):
+    """Column part of the reflect-pad-1 VJP, applied per row:
+    (R, W+2, C) -> (R, W, C)."""
+    wd = dpad_rows.shape[1] - 2
+    g = dpad_rows[:, 1:-1, :]
+    g = g + jnp.pad(dpad_rows[:, 0:1, :], ((0, 0), (1, wd - 2), (0, 0)))
+    g = g + jnp.pad(dpad_rows[:, -1:, :], ((0, 0), (wd - 2, 1), (0, 0)))
+    return g
+
+
+def _wgrad_partial(act_padded, g_rows, hc, wd, c):
+    """dw[t] partial from this chunk's g rows: act_padded is (hc+2, W+2, C),
+    g_rows is (hc*W, C) f32. Returns (3, 3, C, C) f32."""
+    rows = []
+    for dy in range(3):
+        cols = []
+        for dx in range(3):
+            patch = act_padded[dy:dy + hc, dx:dx + wd, :].reshape(hc * wd, c)
+            cols.append(jax.lax.dot_general(
+                patch, g_rows, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def _bwd_kernel(x_hbm, dy_hbm, vhat_hbm, s_hbm, stats_ref,
+                w1_ref, w2_ref,
+                dx_hbm, dw1_ref, dw2_ref, dv_hbm,
+                bufa, bufb, bufc, bufo, sums, dw1acc, dw2acc,
+                sem_a, sem_b, sem_c, sem_out,
+                *, eps, hc, k_chunks):
+    n = pl.program_id(0)
+    phase = pl.program_id(1)
+    k = pl.program_id(2)
+    _, h, wd, c = x_hbm.shape
+    hw = h * wd
+    first = jnp.logical_and(n == 0,
+                            jnp.logical_and(phase == 0, k == 0))
+
+    mu2 = stats_ref[0, 2, :]
+    r2 = stats_ref[0, 3, :]
+    r1 = stats_ref[0, 1, :]
+
+    def load_reflect(src_hbm, dst, sem):
+        row0 = k * hc
+        _copy(src_hbm.at[n, pl.ds(row0, hc)], dst.at[pl.ds(1, hc)], sem)
+        top = jnp.where(k == 0, 1, row0 - 1)
+        _copy(src_hbm.at[n, pl.ds(top, 1)], dst.at[pl.ds(0, 1)], sem)
+        bot = jnp.where(k == k_chunks - 1, h - 2, row0 + hc)
+        _copy(src_hbm.at[n, pl.ds(bot, 1)], dst.at[pl.ds(hc + 1, 1)], sem)
+
+    def load_zero_halo(src_hbm, dst, sem):
+        """Gradient arrays: halo rows outside the plane are ZERO."""
+        row0 = k * hc
+        _copy(src_hbm.at[n, pl.ds(row0, hc)], dst.at[pl.ds(1, hc)], sem)
+        # clamped neighbor rows; masked to zero at the plane edges below
+        top = jnp.maximum(row0 - 1, 0)
+        _copy(src_hbm.at[n, pl.ds(top, 1)], dst.at[pl.ds(0, 1)], sem)
+        bot = jnp.minimum(row0 + hc, h - 1)
+        _copy(src_hbm.at[n, pl.ds(bot, 1)], dst.at[pl.ds(hc + 1, 1)], sem)
+
+    def halo_mask(rows_f32):
+        """Zero the out-of-plane halo rows of a (hc+2, ...) f32 block."""
+        idx = jax.lax.broadcasted_iota(jnp.int32, rows_f32.shape, 0)
+        bad_top = jnp.logical_and(k == 0, idx == 0)
+        bad_bot = jnp.logical_and(k == k_chunks - 1, idx == hc + 1)
+        return jnp.where(jnp.logical_or(bad_top, bad_bot), 0.0, rows_f32)
+
+    def ds_of(dy_blk, s_blk):
+        shat = (s_blk.astype(jnp.float32) - mu2) * r2
+        dyf = dy_blk.astype(jnp.float32)
+        return (r2 * (dyf - sums[0, :] / hw - shat * (sums[1, :] / hw)))
+
+    @pl.when(first)
+    def _init():
+        dw1acc[...] = jnp.zeros_like(dw1acc)
+        dw2acc[...] = jnp.zeros_like(dw2acc)
+
+    @pl.when(phase == 0)
+    def _p0():
+        @pl.when(k == 0)
+        def _():
+            sums[...] = jnp.zeros_like(sums)
+        row0 = k * hc
+        _copy(dy_hbm.at[n, pl.ds(row0, hc)], bufa.at[pl.ds(1, hc)], sem_a)
+        _copy(s_hbm.at[n, pl.ds(row0, hc)], bufb.at[pl.ds(1, hc)], sem_b)
+        dyf = bufa[1:hc + 1].astype(jnp.float32)
+        shat = (bufb[1:hc + 1].astype(jnp.float32) - mu2) * r2
+        sums[0, :] += jnp.sum(dyf, axis=(0, 1))
+        sums[1, :] += jnp.sum(dyf * shat, axis=(0, 1))
+
+    @pl.when(phase == 1)
+    def _p1():
+        @pl.when(k == 0)
+        def _():
+            sums[2, :] = jnp.zeros_like(sums[2, :])
+            sums[3, :] = jnp.zeros_like(sums[3, :])
+        load_zero_halo(dy_hbm, bufa, sem_a)
+        load_zero_halo(s_hbm, bufb, sem_b)
+        load_reflect(vhat_hbm, bufc, sem_c)
+        ds_h = halo_mask(ds_of(bufa[...], bufb[...]))   # (hc+2, W, C) f32
+        dpad = _igrad_local(ds_h, w2_ref[...], hc + 2, wd, c)
+        # local padded row j <-> global padded row (row0-1)+j; chunk's da
+        # rows are local 2..hc+1. Plane-edge folds: global padded row 0
+        # (local 1, k==0) onto da row 1 (local 3); global padded H+1
+        # (local hc+2, k==K-1) onto da row H-2 (local hc).
+        sel = dpad[2:hc + 2]
+        top_fold = jnp.pad(dpad[1:2], ((1, hc - 2), (0, 0), (0, 0)))
+        bot_fold = jnp.pad(dpad[hc + 2:hc + 3], ((hc - 2, 1), (0, 0), (0, 0)))
+        sel = sel + jnp.where(k == 0, 1.0, 0.0) * top_fold \
+            + jnp.where(k == k_chunks - 1, 1.0, 0.0) * bot_fold
+        da = _fold_cols(sel)                             # (hc, W, C) f32
+        vh_chunk = bufc[1:hc + 1].astype(jnp.float32)
+        dv = da * (vh_chunk > 0)
+        sums[2, :] += jnp.sum(dv, axis=(0, 1))
+        sums[3, :] += jnp.sum(dv * vh_chunk, axis=(0, 1))
+        # dw2 partial: pad(relu(vhat)) over chunk+halo vs ds chunk rows
+        a_h = jnp.maximum(bufc[...].astype(jnp.float32), 0.0)
+        dw2acc[...] += _wgrad_partial(
+            _pad_cols_reflect(a_h).astype(x_hbm.dtype),
+            ds_h[1:hc + 1].reshape(hc * wd, c), hc, wd, c)
+        bufo[0:hc] = dv.astype(bufo.dtype)
+        _copy(bufo.at[pl.ds(0, hc)], dv_hbm.at[n, pl.ds(k * hc, hc)], sem_out)
+
+    @pl.when(phase == 2)
+    def _p2():
+        load_zero_halo(dv_hbm, bufa, sem_a)
+        load_reflect(vhat_hbm, bufc, sem_c)
+        load_reflect(x_hbm, bufb, sem_b)
+        dv_h = halo_mask(bufa[...].astype(jnp.float32))
+        vh_h = bufc[...].astype(jnp.float32)
+        # Elementwise on in-plane rows (dv halo rows are the neighbor
+        # chunk's real dv); out-of-plane halo rows must be ZERO for the
+        # conv-transpose — the du formula would otherwise emit
+        # r1*(-m_dv - vh*m_dvv) there.
+        du_h = halo_mask(
+            r1 * (dv_h - sums[2, :] / hw - vh_h * (sums[3, :] / hw)))
+        dpad = _igrad_local(du_h, w1_ref[...], hc + 2, wd, c)
+        sel = dpad[2:hc + 2]
+        top_fold = jnp.pad(dpad[1:2], ((1, hc - 2), (0, 0), (0, 0)))
+        bot_fold = jnp.pad(dpad[hc + 2:hc + 3], ((hc - 2, 1), (0, 0), (0, 0)))
+        sel = sel + jnp.where(k == 0, 1.0, 0.0) * top_fold \
+            + jnp.where(k == k_chunks - 1, 1.0, 0.0) * bot_fold
+        dxc = _fold_cols(sel)
+        row0 = k * hc
+        _copy(dy_hbm.at[n, pl.ds(row0, hc)], bufo.at[pl.ds(hc, hc)], sem_out)
+        dx = bufo[hc:2 * hc].astype(jnp.float32) + dxc
+        # dw1 partial: pad(x) chunk+halo vs du chunk rows
+        dw1acc[...] += _wgrad_partial(
+            _pad_cols_reflect(bufb[...]),
+            du_h[1:hc + 1].reshape(hc * wd, c), hc, wd, c)
+        bufo[0:hc] = dx.astype(bufo.dtype)
+        _copy(bufo.at[pl.ds(0, hc)], dx_hbm.at[n, pl.ds(k * hc, hc)], sem_out)
+        dw1_ref[...] = dw1acc[...]
+        dw2_ref[...] = dw2acc[...]
+
+
+def _backward_chunked(x, dy, vhat, s, stats, w1, w2, eps, hc, interpret):
+    n, h, wd, c = x.shape
+    k_chunks = h // hc
+    grid = (n, 3, k_chunks)
+    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    vmem_full = lambda shape: pl.BlockSpec(
+        shape, lambda *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, 4, c), lambda i, p, k: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct(x.shape, x.dtype),          # dx
+        jax.ShapeDtypeStruct(w1.shape, jnp.float32),     # dw1
+        jax.ShapeDtypeStruct(w2.shape, jnp.float32),     # dw2
+        jax.ShapeDtypeStruct(x.shape, x.dtype),          # dv buffer
+    )
+    dx, dw1, dw2, _ = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps, hc=hc, k_chunks=k_chunks),
+        grid=grid,
+        in_specs=[anyspec, anyspec, anyspec, anyspec, stats_spec,
+                  vmem_full(w1.shape), vmem_full(w2.shape)],
+        out_specs=(anyspec, vmem_full(w1.shape), vmem_full(w2.shape),
+                   anyspec),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((hc + 2, wd, c), x.dtype),   # bufa
+            pltpu.VMEM((hc + 2, wd, c), x.dtype),   # bufb
+            pltpu.VMEM((hc + 2, wd, c), x.dtype),   # bufc
+            pltpu.VMEM((2 * hc, wd, c), x.dtype),   # bufo
+            pltpu.VMEM((4, c), jnp.float32),        # sums
+            pltpu.VMEM(w1.shape, jnp.float32),      # dw1acc
+            pltpu.VMEM(w2.shape, jnp.float32),      # dw2acc
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )(x, dy, vhat, s, stats, w1, w2)
+    return dx, dw1, dw2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def residual_block_chunked(x, w1, b1, w2, b2, eps: float = 1e-5,
+                           hc: int = 16, interpret: bool = False):
+    """Chunked fused ResidualBlock, differentiable (fwd + bwd in Pallas).
+
+    Identical semantics to kernels/resblock.residual_block_fused but tiled
+    over H with halo DMA, so it fits ANY trunk shape (incl. the 256² crop's
+    (64, 64, 256) that OOMs the whole-plane kernel). Bias grads are exactly
+    zero (pre-IN constants cancel)."""
+    y, _, _, _, _ = _forward_chunked_impl(x, w1, b1, w2, b2, eps, hc,
+                                          interpret)
+    return y
+
+
+def _chunked_fwd_rule(x, w1, b1, w2, b2, eps, hc, interpret):
+    y, vhat, _, s, stats = _forward_chunked_impl(x, w1, b1, w2, b2, eps, hc,
+                                                 interpret)
+    return y, (x, vhat, s, stats, w1, w2)
+
+
+def _chunked_bwd_rule(eps, hc, interpret, res, dy):
+    x, vhat, s, stats, w1, w2 = res
+    dx, dw1, dw2 = _backward_chunked(x, dy, vhat, s, stats, w1, w2, eps, hc,
+                                     interpret)
+    return (dx, dw1.astype(w1.dtype), jnp.zeros((w1.shape[-1],), w1.dtype),
+            dw2.astype(w2.dtype), jnp.zeros((w2.shape[-1],), w2.dtype))
+
+
+residual_block_chunked.defvjp(_chunked_fwd_rule, _chunked_bwd_rule)

@@ -38,9 +38,10 @@ def xla_train_forward(x, w1, b1, w2, b2, eps=1e-5):
 def bench(fn, x, reps, label):
     def chained(x0):
         def body(_, carry):
-            y, vhat = fn(carry)
-            # tiny data dependency on vhat so neither output is elided
-            return y + (vhat[..., :1] * 0).sum() * 0 + y * 0 + y
+            y, aux = fn(carry)
+            # data dependency on both outputs so neither is elided
+            return y + (aux.astype(y.dtype) * 0 if aux.shape == y.shape
+                        else y * 0)
         return jax.lax.fori_loop(0, reps, body, x0)
 
     run = jax.jit(chained)
@@ -62,6 +63,8 @@ def main():
     ap.add_argument("--hc", type=int, default=16)
     ap.add_argument("--shape", type=str, default="1,64,64,256")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--train", action="store_true",
+                    help="also A/B the fwd+bwd (value_and_grad) path")
     args = ap.parse_args()
     n, h, w, c = map(int, args.shape.split(","))
     dtype = jnp.dtype(args.dtype)
@@ -95,7 +98,36 @@ def main():
 
     t_xla = bench(xla, x, args.reps, "xla   fwd")
     t_chk = bench(chunked, x, args.reps, "chunk fwd")
-    print(f"speedup: {t_xla / t_chk:.3f}x", flush=True)
+    print(f"fwd speedup: {t_xla / t_chk:.3f}x", flush=True)
+
+    if args.train:
+        from cyclegan_tpu.kernels.resblock import residual_block_reference
+        from cyclegan_tpu.kernels.resblock_chunked import (
+            residual_block_chunked)
+
+        dy = jnp.asarray(rng.normal(size=(n, h, w, c)), dtype)
+
+        def grad_of(block_fn):
+            def loss(xv):
+                return jnp.vdot(block_fn(xv).astype(jnp.float32),
+                                dy.astype(jnp.float32))
+            g = jax.grad(loss)
+            return lambda xv: (g(xv), xv)  # (dx, passthrough)
+
+        xla_train = grad_of(
+            lambda xv: residual_block_reference(xv, w1, b1, w2, b2))
+        chk_train = grad_of(
+            lambda xv: residual_block_chunked(xv, w1, b1, w2, b2, 1e-5,
+                                              args.hc, False))
+        # correctness spot check
+        gx = jax.jit(lambda v: xla_train(v)[0])(x)
+        gc = jax.jit(lambda v: chk_train(v)[0])(x)
+        gerr = float(jnp.abs(gx.astype(jnp.float32)
+                             - gc.astype(jnp.float32)).max())
+        print(f"max |dx_chunked - dx_xla| = {gerr:.4f}", flush=True)
+        t_xla_t = bench(xla_train, x, args.reps, "xla   fwd+bwd")
+        t_chk_t = bench(chk_train, x, args.reps, "chunk fwd+bwd")
+        print(f"train speedup: {t_xla_t / t_chk_t:.3f}x", flush=True)
 
 
 if __name__ == "__main__":
