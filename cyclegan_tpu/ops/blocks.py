@@ -380,13 +380,27 @@ class ResidualBlock(nn.Module):
         interpret = mode == "interpret"
         if not interpret and jax.default_backend() != "tpu":
             return None
+        w1, b1 = cb0(x, params_only=True)
+        w2, b2 = cb1(x, params_only=True)
+        d = self.dtype
+        if mode == "chunked":
+            # Round-3 H-tiled halo-DMA variant (kernels/resblock_chunked.py):
+            # fits ANY trunk shape incl. 256-crop. Measured-and-rejected
+            # isolated (fwd+bwd 0.73x/0.61x vs XLA at the 256/128 trunk
+            # shapes — docs/KERNELS.md round-3 ledger); kept for A/B.
+            from cyclegan_tpu.kernels.resblock_chunked import (
+                residual_block_chunked)
+
+            hc = int(os.environ.get("CYCLEGAN_TPU_RESBLOCK_HC", "8"))
+            if x.shape[1] % hc:
+                return None
+            return residual_block_chunked(
+                x.astype(d), w1.astype(d), b1.astype(d), w2.astype(d),
+                b2.astype(d), 1e-5, hc, False)
         from cyclegan_tpu.kernels.resblock import residual_block_fused, supported
 
         if not supported(x.shape, jnp.dtype(self.dtype).itemsize):
             return None
-        w1, b1 = cb0(x, params_only=True)
-        w2, b2 = cb1(x, params_only=True)
-        d = self.dtype
         return residual_block_fused(
             x.astype(d), w1.astype(d), b1.astype(d), w2.astype(d),
             b2.astype(d), 1e-5, interpret)
