@@ -29,7 +29,8 @@ except (FileNotFoundError, json.JSONDecodeError):
 
 def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
                 width: int | None = None, channels: int = 3,
-                classes: int = 21, gen_net: str = "resnet_9blocks") -> float:
+                classes: int = 21, gen_net: str = "resnet_9blocks",
+                remat: bool = False) -> float:
     import jax
 
     from cyclegan_tpu.parallel import make_mesh, replicate_state, shard_batch, jit_step
@@ -39,7 +40,7 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
     h, w = size, width or size
     cfg = Config(dataset="synthetic", gen_net=gen_net,
                  crop_height=h, crop_width=w, batch_size=batch,
-                 bf16=True, epochs=200, decay_epoch=100)
+                 bf16=True, epochs=200, decay_epoch=100, remat=remat)
     trainer = CycleGANTrainer(cfg, num_classes=classes, in_channels=channels,
                               steps_per_epoch=100)
     mesh = make_mesh(1)
@@ -263,6 +264,10 @@ def main() -> None:
                     help="test-path throughput: seg forward + argmax img/s")
     ap.add_argument("--loader", default="native", choices=["native", "grain"],
                     help="input pipeline backend for --pipeline mode")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize generator trunks (large-batch HBM "
+                         "relief; the round-3 b32 attribution found XLA's "
+                         "own remat pass firing at b32)")
     args = ap.parse_args()
 
     platform = _resolve_platform()
@@ -336,7 +341,8 @@ def main() -> None:
 
     sps = measure_jax(args.size, args.batch, args.steps, args.warmup,
                       width=args.width, channels=args.channels,
-                      classes=args.classes, gen_net=gen_net)
+                      classes=args.classes, gen_net=gen_net,
+                      remat=args.remat)
     w = args.width or args.size
     # The torch-CPU denominator was measured at 256x256 b1 rgb — only report
     # a ratio when the config matches it.
