@@ -30,7 +30,7 @@ except (FileNotFoundError, json.JSONDecodeError):
 def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
                 width: int | None = None, channels: int = 3,
                 classes: int = 21, gen_net: str = "resnet_9blocks",
-                remat: bool = False) -> float:
+                remat: bool = False, scan: int = 1) -> float:
     import jax
 
     from cyclegan_tpu.parallel import make_mesh, replicate_state, shard_batch, jit_step
@@ -40,23 +40,26 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
     h, w = size, width or size
     cfg = Config(dataset="synthetic", gen_net=gen_net,
                  crop_height=h, crop_width=w, batch_size=batch,
-                 bf16=True, epochs=200, decay_epoch=100, remat=remat)
+                 bf16=True, epochs=200, decay_epoch=100, remat=remat,
+                 steps_per_call=scan)
     trainer = CycleGANTrainer(cfg, num_classes=classes, in_channels=channels,
                               steps_per_epoch=100)
     mesh = make_mesh(1)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
-    step = jit_step(trainer.train_step)
+    step = jit_step(trainer.train_step if scan <= 1 else trainer.multi_step)
 
     rng = jax.random.PRNGKey(1)
+    lead = () if scan <= 1 else (scan,)
     batch_d = shard_batch(
         {
-            "lab_image": jax.random.uniform(rng, (batch, h, w, channels),
+            "lab_image": jax.random.uniform(rng, lead + (batch, h, w, channels),
                                             minval=-1, maxval=1),
-            "lab_label": jax.random.randint(rng, (batch, h, w), 0, classes),
-            "unlab_image": jax.random.uniform(rng, (batch, h, w, channels),
+            "lab_label": jax.random.randint(rng, lead + (batch, h, w), 0, classes),
+            "unlab_image": jax.random.uniform(rng, lead + (batch, h, w, channels),
                                               minval=-1, maxval=1),
         },
         mesh,
+        leading_stack=scan > 1,
     )
     for _ in range(warmup):
         state, m = step(state, batch_d)
@@ -70,7 +73,7 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
     # param leaf) forces the whole chain to have executed.
     jax.device_get(m)
     jax.device_get(jax.tree.leaves(state.g_i2l)[0])
-    return steps / (time.perf_counter() - t0)
+    return steps * max(scan, 1) / (time.perf_counter() - t0)
 
 
 def measure_jax_pipeline(size: int, batch: int, steps: int, warmup: int, *,
@@ -268,6 +271,10 @@ def main() -> None:
                     help="rematerialize generator trunks (large-batch HBM "
                          "relief; the round-3 b32 attribution found XLA's "
                          "own remat pass firing at b32)")
+    ap.add_argument("--scan", type=int, default=1,
+                    help="steps per device call (lax.scan multi-step "
+                         "batching; amortizes launch/scheduling at small "
+                         "batch)")
     args = ap.parse_args()
 
     platform = _resolve_platform()
@@ -342,7 +349,7 @@ def main() -> None:
     sps = measure_jax(args.size, args.batch, args.steps, args.warmup,
                       width=args.width, channels=args.channels,
                       classes=args.classes, gen_net=gen_net,
-                      remat=args.remat)
+                      remat=args.remat, scan=args.scan)
     w = args.width or args.size
     # The torch-CPU denominator was measured at 256x256 b1 rgb — only report
     # a ratio when the config matches it.

@@ -46,8 +46,21 @@ def make_mesh(num_devices: int | None = None, *, spatial: int = 1,
     return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Batch dim on ``data``; H dim on ``spatial`` for rank>=3 arrays."""
+def batch_sharding(mesh: Mesh, ndim: int = 4, *,
+                   stacked: bool = False) -> NamedSharding:
+    """Batch dim on ``data``; H dim on ``spatial`` for rank>=3 arrays.
+
+    ``stacked``: arrays carry a leading steps-per-call axis (multi-step
+    scan batching) — replicated, with data/spatial shifted one dim right.
+    """
+    if stacked:
+        if ndim >= 4:
+            spec = P(None, DATA_AXIS, SPATIAL_AXIS)
+        elif ndim >= 2:
+            spec = P(None, DATA_AXIS)
+        else:
+            spec = P()
+        return NamedSharding(mesh, spec)
     if ndim >= 3:
         spec = P(DATA_AXIS, SPATIAL_AXIS)
     elif ndim >= 1:
@@ -61,7 +74,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, *, leading_stack: bool = False) -> Any:
     """Host batch -> device arrays sharded on (data[, spatial]).
 
     Single-process: a plain ``device_put``. Multi-process (fleet DP): each
@@ -69,13 +82,19 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     ``process_shard``); ``jax.make_array_from_process_local_data`` assembles
     the global array across hosts — process p's rows land on process p's
     devices, so no cross-host data movement happens on the input path.
+
+    ``leading_stack``: batch arrays carry a leading steps-per-call axis
+    (multi-step scan batching, ``Config.steps_per_call``).
     """
     if jax.process_count() > 1:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(
-                batch_sharding(mesh, np.ndim(x)), np.asarray(x)), batch)
+                batch_sharding(mesh, np.ndim(x), stacked=leading_stack),
+                np.asarray(x)), batch)
     return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch)
+        lambda x: jax.device_put(
+            x, batch_sharding(mesh, np.ndim(x), stacked=leading_stack)),
+        batch)
 
 
 def replicate_state(state: Any, mesh: Mesh) -> Any:

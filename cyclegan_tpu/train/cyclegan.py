@@ -298,6 +298,20 @@ class CycleGANTrainer:
         aux.update(d_aux)
         return new_state, aux
 
+    def multi_step(self, state: CycleGANState, batches: dict
+                   ) -> tuple[CycleGANState, dict]:
+        """K chained train steps in ONE compiled program.
+
+        ``batches`` carries a leading steps-per-call axis: image arrays
+        (K, B, H, W, C), labels (K, B, H, W) — ``lax.scan`` threads the
+        train state through K alternating G/D updates, amortizing per-step
+        launch/dispatch and letting XLA schedule across step boundaries
+        (the batch-1 step is scheduling-limited — docs/KERNELS.md).
+        Returns the LAST step's metrics (matches the runner's log cadence).
+        """
+        state, ms = jax.lax.scan(self.train_step, state, batches)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
     def eval_step(self, g_i2l_params: Any, batch: dict) -> jax.Array:
         logits = self.G_i2l.apply(g_i2l_params, batch["image"])
         pred = jnp.argmax(logits, axis=-1)

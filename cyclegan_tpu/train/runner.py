@@ -108,7 +108,13 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
     validation + checkpoint + auto-resume (SURVEY.md §3a outer loop)."""
     enable_debug_flags(cfg.debug_nans)
     primary = distributed.is_primary()
-    step_jit = jit_step(trainer.train_step)
+    # Multi-step scan batching (Config.steps_per_call > 1): K optimizer
+    # steps per device call via trainer.multi_step — amortizes per-call
+    # host dispatch (matters most in fleet runs; measured ~+1% single-chip,
+    # docs/KERNELS.md round-3). Epoch-tail batches that don't fill a stack
+    # are dropped, like drop_last batching.
+    spc = max(int(getattr(cfg, "steps_per_call", 1) or 1), 1)
+    step_jit = jit_step(trainer.train_step if spc == 1 else trainer.multi_step)
     eval_jit = jax.jit(trainer.eval_step)
     # Only the primary process writes logs/traces (shared-filesystem safety);
     # every process participates in compute and checkpoint restore.
@@ -123,15 +129,28 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
         state = replicate_state(state, mesh)
         print(f"resumed from epoch {start_epoch - 1}", flush=True)
 
+    def stacked(gen):
+        """Group K consecutive host batches into one leading-K stack."""
+        buf = []
+        for b in gen:
+            buf.append(b)
+            if len(buf) == spc:
+                yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
+                buf = []
+        # tail < K dropped (documented above)
+
     def prefetched(epoch, depth=2):
         """Keep `depth` batches in flight on device: device_put (async) runs
         while the previous step computes — host->HBM transfer overlaps
         compute instead of serializing with it."""
         import collections
 
+        gen = batches_of_epoch(epoch)
+        if spc > 1:
+            gen = stacked(gen)
         q = collections.deque()
-        for b in batches_of_epoch(epoch):
-            q.append(shard_batch(b, mesh))
+        for b in gen:
+            q.append(shard_batch(b, mesh, leading_stack=spc > 1))
             if len(q) >= depth:
                 yield q.popleft()
         while q:
@@ -157,10 +176,10 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
         for batch in prefetched(epoch):
             profiler.maybe_start(total_steps)
             state, m = step_jit(state, batch)
-            n += 1
-            total_steps += 1
+            n += spc
+            total_steps += spc
             profiler.maybe_stop(total_steps)
-            if n % cfg.log_every == 0 and primary:
+            if (n // spc) % max(cfg.log_every // spc, 1) == 0 and primary:
                 sps = n / (time.perf_counter() - t0)
                 flush_pending()
                 pending = (dict(step=total_steps, epoch=epoch,

@@ -97,6 +97,13 @@ class SupervisedTrainer:
             {"ce_loss": loss},
         )
 
+    def multi_step(self, state: SupervisedState, batches: dict
+                   ) -> tuple[SupervisedState, dict]:
+        """K chained steps in one program (``Config.steps_per_call``);
+        ``batches`` carries a leading K axis. Returns last step's metrics."""
+        state, ms = jax.lax.scan(self.train_step, state, batches)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
     def eval_step(self, params: Any, batch: dict) -> jax.Array:
         """Confusion-matrix contribution of one batch; jit me."""
         logits = self.model.apply(params, batch["image"])

@@ -64,6 +64,10 @@ class Config:
 
     # precision / parallelism
     bf16: bool = True                  # bf16 compute, fp32 params
+    # Multi-step scan batching: compile K train steps into ONE device
+    # program (lax.scan) — amortizes launch/dispatch and cross-step
+    # scheduling at small batch (docs/KERNELS.md round-3). 1 = off.
+    steps_per_call: int = 1
     remat: bool = False                # rematerialize generator trunks
     num_devices: int | None = None     # None = all visible
     spatial_shards: int = 1            # spatial (H) partitioning factor
