@@ -151,17 +151,38 @@ class GrainLoader:
         loader = gp.DataLoader(
             data_source=_EpochSource(self.ds, order, positions),
             sampler=sampler,
+            # NOTE: batching happens HERE, not via gp.Batch — grain runs
+            # operations inside each worker process, so an in-pipeline
+            # Batch would group worker-LOCAL record subsequences and the
+            # stream would differ per worker_count. Records come back in
+            # deterministic global order (grain's round-robin reassembly);
+            # stacking them here keeps the stream identical for any
+            # worker_count (tests/test_loader_equivalence.py).
             operations=[
                 _Transform(self.crop_hw, self.train, self.resize_hw,
                            self.seed, e, self.eval_mode),
-                gp.Batch(batch_size=self._rows, drop_remainder=False),
             ],
             worker_count=self.num_workers,
         )
         yielded = 0
-        for batch in loader:
-            yield self._pad_batch(dict(batch))
+        buf: list = []
+
+        def emit(records):
+            out = {"image": np.stack([r["image"] for r in records])}
+            if all("label" in r for r in records):
+                out["label"] = np.stack([r["label"] for r in records])
+            return out
+
+        for rec in loader:
+            buf.append(rec)
+            if len(buf) == self._rows:
+                yield self._pad_batch(emit(buf))
+                yielded += 1
+                buf = []
+        if buf:
+            yield self._pad_batch(emit(buf))
             yielded += 1
+            buf = []
         # A process whose row range falls entirely inside the padding of a
         # short final eval batch gets nothing from grain — emit all-pad
         # batches so every process yields steps_per_epoch() batches.

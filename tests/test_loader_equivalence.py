@@ -73,6 +73,21 @@ def test_grain_empty_final_shard_pads():
     assert np.all(s1[0]["label"][1] == 255)
 
 
+def test_grain_worker_count_invariance():
+    """worker_count must not change the stream: grain runs operations
+    inside each worker, so batching lives OUTSIDE the pipeline (an
+    in-pipeline gp.Batch would group worker-local subsequences — caught as
+    a 73% batch mismatch during round 3)."""
+    ds = make_dataset("synthetic", size=8)
+    kw = dict(batch_size=4, crop_hw=(32, 32), train=True, seed=7)
+    nat = _epoch_batches(Loader(ds, **kw), 0)
+    w2 = _epoch_batches(GrainLoader(ds, num_workers=2, **kw), 0)
+    assert len(nat) == len(w2)
+    for a, b in zip(nat, w2):
+        np.testing.assert_array_equal(a["image"], np.asarray(b["image"]))
+        np.testing.assert_array_equal(a["label"], np.asarray(b["label"]))
+
+
 def test_eval_center_crop_mode():
     """--eval_resize center_crop: aspect-preserving resize + center crop."""
     from cyclegan_tpu.data.transforms import eval_transform
