@@ -110,12 +110,13 @@ PRESETS: dict[str, Config] = {
         crop_height=256, crop_width=256, labeled_fraction=0.125,
     ),
     # 3. Cityscapes 512x256 semi-sup with pool replay + LR-lambda decay.
-    # remat: the 2x-larger crop roughly doubles live activations through the
-    # six generator applies of the fused G+D backward — trade recompute for
-    # HBM headroom.
+    # remat off: at the preset's batch 1 the step fits HBM and recompute is
+    # pure cost (measured 12.65 vs 11.44 steps/s, round-3 A/B). Pass
+    # --remat/--batch-scaled HBM relief only when batch*crop pushes temps
+    # past the 16 GB HBM (see BASELINE.md b32 attribution).
     "cityscapes_semisup_512x256": Config(
         gen_net="resnet_9blocks", dataset="cityscapes",
-        crop_height=256, crop_width=512, remat=True,
+        crop_height=256, crop_width=512,
     ),
     # 4. ACDC cardiac MRI, 1-channel, 4-class
     "acdc_semisup": Config(
