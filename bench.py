@@ -260,9 +260,10 @@ def main() -> None:
     ap.add_argument("--supervised", action="store_true",
                     help="BASELINE config 1: supervised-only CE step "
                          "(ResNet-6) instead of the full semi-sup system")
-    ap.add_argument("--gen_net", default="resnet_9blocks",
+    ap.add_argument("--gen_net", default=None,
                     help="generator family (resnet_9blocks|resnet_6blocks|"
-                         "unet_128|unet_256)")
+                         "unet_128|unet_256); default resnet_9blocks, or "
+                         "resnet_6blocks for --supervised (config 1)")
     ap.add_argument("--inference", action="store_true",
                     help="test-path throughput: seg forward + argmax img/s")
     ap.add_argument("--loader", default="native", choices=["native", "grain"],
@@ -278,7 +279,10 @@ def main() -> None:
     args = ap.parse_args()
 
     platform = _resolve_platform()
-    gen_net = args.gen_net
+    # Resolve the family per mode ONLY when not explicitly requested (an
+    # explicit --gen_net is always honored — advisor r3).
+    gen_net = args.gen_net or (
+        "resnet_6blocks" if args.supervised else "resnet_9blocks")
     if platform == "cpu-fallback":
         # TPU tunnel down: bound wall time (CPU compile of the full ResNet-9
         # step takes ~20 min) — shrink to a clearly-labeled degraded config.
@@ -305,8 +309,6 @@ def main() -> None:
         return
 
     if args.supervised:
-        if args.gen_net == ap.get_default("gen_net"):
-            gen_net = "resnet_6blocks"  # config-1 default family
         sps = measure_jax_supervised(args.size, args.batch, args.steps,
                                      args.warmup, classes=args.classes,
                                      gen_net=gen_net)
@@ -351,13 +353,19 @@ def main() -> None:
                       classes=args.classes, gen_net=gen_net,
                       remat=args.remat, scan=args.scan)
     w = args.width or args.size
-    # The torch-CPU denominator was measured at 256x256 b1 rgb — only report
-    # a ratio when the config matches it.
+    # The torch-CPU denominator was measured at 256x256 b1 rgb with the
+    # PLAIN step — only report a ratio when the config matches it exactly
+    # (no scan/remat variants).
     comparable = (args.size == w == 256 and args.batch == 1
                   and args.channels == 3 and args.classes == 21
-                  and gen_net == "resnet_9blocks")
+                  and gen_net == "resnet_9blocks"
+                  and args.scan <= 1 and not args.remat)
+    variant = (f"{_tag('resnet_9blocks')}"
+               f"{f'_scan{args.scan}' if args.scan > 1 else ''}"
+               f"{'_remat' if args.remat else ''}")
     result = {
-        "metric": f"cyclegan_train_steps_per_sec_{args.size}x{w}_b{args.batch}",
+        "metric": f"cyclegan_train_steps_per_sec_{args.size}x{w}"
+                  f"_b{args.batch}{variant}",
         "value": round(sps, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": round(sps / baseline, 3) if (baseline and comparable) else None,

@@ -99,6 +99,9 @@ class GrainLoader:
         self.train = train
         self.seed = seed
         self.resize_hw = resize_hw
+        if eval_mode not in ("resize", "center_crop"):
+            raise ValueError(
+                f"unknown eval_mode {eval_mode!r} (resize|center_crop)")
         self.eval_mode = eval_mode
         self.drop_last = drop_last
         self.num_workers = num_workers
@@ -141,6 +144,13 @@ class GrainLoader:
                  else np.zeros((0,), np.int64))
         positions = (np.concatenate(positions) if positions
                      else np.zeros((0,), np.int64))
+        if len(order) == 0:
+            # A process whose row range is entirely final-batch padding:
+            # grain's IndexSampler rejects num_records=0, so skip it and
+            # emit the all-pad batches directly (matches Loader).
+            for _ in range(nb):
+                yield self._pad_batch(self._empty_batch())
+            return
         sampler = gp.IndexSampler(
             num_records=len(order),
             shuffle=False,  # order/sharding precomputed above
@@ -191,24 +201,11 @@ class GrainLoader:
             yielded += 1
 
     def _empty_batch(self) -> dict:
-        ch, cw = self.crop_hw
-        c = self.ds.in_channels
-        return {"image": np.zeros((0, ch, cw, c), np.float32),
-                "label": np.zeros((0, ch, cw), np.int32)}
+        from cyclegan_tpu.data.loader import empty_batch
+
+        return empty_batch(self.crop_hw, self.ds.in_channels)
 
     def _pad_batch(self, batch: dict) -> dict:
-        """Pad a short final eval batch to the per-process row count with
-        ignore-label rows (mirrors Loader._pad_batch): keeps every batch the
-        same static shape so the eval step compiles once and mesh sharding
-        always applies."""
-        n = batch["image"].shape[0]
-        if n == self._rows:
-            return batch
-        pad = self._rows - n
-        img_pad = np.zeros((pad,) + batch["image"].shape[1:], batch["image"].dtype)
-        batch["image"] = np.concatenate([batch["image"], img_pad])
-        if "label" in batch:
-            lab_pad = np.full((pad,) + batch["label"].shape[1:], 255,
-                              batch["label"].dtype)
-            batch["label"] = np.concatenate([batch["label"], lab_pad])
-        return batch
+        from cyclegan_tpu.data.loader import pad_batch
+
+        return pad_batch(batch, self._rows)

@@ -21,6 +21,32 @@ from cyclegan_tpu.data.transforms import (
     draw_train_params, eval_transform, train_transform)
 
 
+def empty_batch(crop_hw: tuple[int, int], in_channels: int) -> dict:
+    """All-pad local batch (a process whose row range falls entirely in the
+    padding of a short final eval batch). Shared by Loader and GrainLoader."""
+    ch, cw = crop_hw
+    return {"image": np.zeros((0, ch, cw, in_channels), np.float32),
+            "label": np.zeros((0, ch, cw), np.int32)}
+
+
+def pad_batch(batch: dict, rows: int) -> dict:
+    """Pad a short final eval batch to ``rows`` with ignore-label rows (255
+    is masked by the CE loss and the confusion matrix) — keeps every batch
+    the same static shape so XLA compiles the eval step once. Shared by
+    Loader and GrainLoader (their streams must stay bit-identical)."""
+    n = batch["image"].shape[0]
+    if n == rows:
+        return batch
+    pad = rows - n
+    img_pad = np.zeros((pad,) + batch["image"].shape[1:], batch["image"].dtype)
+    batch["image"] = np.concatenate([batch["image"], img_pad])
+    if "label" in batch:
+        lab_pad = np.full((pad,) + batch["label"].shape[1:], 255,
+                          batch["label"].dtype)
+        batch["label"] = np.concatenate([batch["label"], lab_pad])
+    return batch
+
+
 class Loader:
     """Shuffling, epoch-aware batch iterator with a prefetch thread.
 
@@ -49,6 +75,12 @@ class Loader:
         self.train = train
         self.seed = seed
         self.resize_hw = resize_hw
+        if eval_mode not in ("resize", "center_crop"):
+            # Fail FAST: a bad value would otherwise raise inside the
+            # prefetch worker thread, which dies without queueing its
+            # sentinel and deadlocks the consumer at first validation.
+            raise ValueError(
+                f"unknown eval_mode {eval_mode!r} (resize|center_crop)")
         self.eval_mode = eval_mode
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -99,29 +131,10 @@ class Loader:
         return self._pad_batch(batch)
 
     def _empty_batch(self) -> dict:
-        """All-pad local batch (a process whose row range falls entirely in
-        the padding of a short final eval batch)."""
-        ch, cw = self.crop_hw
-        c = self.ds.in_channels
-        return {"image": np.zeros((0, ch, cw, c), np.float32),
-                "label": np.zeros((0, ch, cw), np.int32)}
+        return empty_batch(self.crop_hw, self.ds.in_channels)
 
     def _pad_batch(self, batch: dict) -> dict:
-        """Pad a short final eval batch to this process's row count with
-        ignore-label rows (255 is masked by the CE loss and the confusion
-        matrix) — keeps every batch the same static shape so XLA compiles
-        the eval step once."""
-        n = batch["image"].shape[0]
-        if n == self._rows:
-            return batch
-        pad = self._rows - n
-        img_pad = np.zeros((pad,) + batch["image"].shape[1:], batch["image"].dtype)
-        batch["image"] = np.concatenate([batch["image"], img_pad])
-        if "label" in batch:
-            lab_pad = np.full((pad,) + batch["label"].shape[1:], 255,
-                              batch["label"].dtype)
-            batch["label"] = np.concatenate([batch["label"], lab_pad])
-        return batch
+        return pad_batch(batch, self._rows)
 
     def _make_batch_native(self, idxs: np.ndarray, positions: np.ndarray,
                            epoch: int) -> dict:

@@ -39,6 +39,17 @@ def _dataset_spec(cfg: Config):
     return num_classes, in_ch
 
 
+def _effective_steps_per_epoch(cfg: Config, steps_per_epoch: int) -> int:
+    """Optimizer steps actually taken per epoch. With steps_per_call > 1
+    the runner drops the epoch tail that doesn't fill a K-stack — the LR
+    staircase (keyed off the step counter with a static steps_per_epoch)
+    must use this value or decay would silently start late."""
+    spc = max(int(getattr(cfg, "steps_per_call", 1) or 1), 1)
+    if spc <= 1:
+        return steps_per_epoch
+    return max((steps_per_epoch // spc) * spc, 1)
+
+
 def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
                  drop_last: bool = True):
     """Loader factory: native (thread prefetch + C++ pixel kernels) or grain
@@ -216,8 +227,9 @@ def run_supervised(cfg: Config, *, max_steps: int | None = None) -> dict:
     val_ds = make_dataset(cfg.dataset, cfg.data_root, split="val")
     train_loader = _make_loader(cfg, train_ds, train=True, seed=cfg.seed)
     val_loader = _make_loader(cfg, val_ds, train=False, seed=0, drop_last=False)
-    trainer = SupervisedTrainer(cfg, num_classes, in_ch,
-                                train_loader.steps_per_epoch())
+    trainer = SupervisedTrainer(
+        cfg, num_classes, in_ch,
+        _effective_steps_per_epoch(cfg, train_loader.steps_per_epoch()))
     mesh = make_mesh(cfg.num_devices, spatial=cfg.spatial_shards)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(cfg.seed)), mesh)
     return _train_loop(
@@ -244,7 +256,8 @@ def run_cyclegan(cfg: Config, *, max_steps: int | None = None) -> dict:
             f"{lab_loader.steps_per_epoch()} batches of size {cfg.batch_size} "
             f"— lower batch_size, raise labeled_fraction, or use "
             f"--pairing cycle")
-    trainer = CycleGANTrainer(cfg, num_classes, in_ch, steps_per_epoch)
+    trainer = CycleGANTrainer(cfg, num_classes, in_ch,
+                              _effective_steps_per_epoch(cfg, steps_per_epoch))
     mesh = make_mesh(cfg.num_devices, spatial=cfg.spatial_shards)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(cfg.seed)), mesh)
 

@@ -77,9 +77,13 @@ class StepProfiler:
         self.start_step = start
         self.stop_step = stop
         self._active = False
+        self._done = False
 
     def maybe_start(self, step: int) -> None:
-        if self.dir and not self._active and step == self.start_step:
+        # >= (not ==): with steps_per_call > 1 the step counter advances in
+        # strides and can skip the exact start step.
+        if (self.dir and not self._active and not self._done
+                and step >= self.start_step):
             jax.profiler.start_trace(self.dir)
             self._active = True
 
@@ -87,6 +91,7 @@ class StepProfiler:
         if self._active and step >= self.stop_step:
             jax.profiler.stop_trace()
             self._active = False
+            self._done = True  # one trace window per run
 
     def finish(self) -> None:
         if self._active:
