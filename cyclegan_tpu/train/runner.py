@@ -47,7 +47,13 @@ def _effective_steps_per_epoch(cfg: Config, steps_per_epoch: int) -> int:
     spc = max(int(getattr(cfg, "steps_per_call", 1) or 1), 1)
     if spc <= 1:
         return steps_per_epoch
-    return max((steps_per_epoch // spc) * spc, 1)
+    if steps_per_epoch < spc:
+        raise ValueError(
+            f"steps_per_call={spc} exceeds the epoch length "
+            f"({steps_per_epoch} steps) — every batch would land in the "
+            f"dropped tail and training would silently do nothing; lower "
+            f"--steps_per_call or --batch_size")
+    return (steps_per_epoch // spc) * spc
 
 
 def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
