@@ -33,7 +33,8 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
                 remat: bool = False, scan: int = 1) -> float:
     import jax
 
-    from cyclegan_tpu.parallel import make_mesh, replicate_state, shard_batch, jit_step
+    from cyclegan_tpu.parallel import (
+        make_mesh, replicate_state, shard_batch, jit_step, select_step)
     from cyclegan_tpu.train.cyclegan import CycleGANTrainer
     from cyclegan_tpu.utils.config import Config
 
@@ -46,7 +47,7 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
                               steps_per_epoch=100)
     mesh = make_mesh(1)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
-    step = jit_step(trainer.train_step if scan <= 1 else trainer.multi_step)
+    step = jit_step(select_step(trainer, scan))
 
     rng = jax.random.PRNGKey(1)
     lead = () if scan <= 1 else (scan,)

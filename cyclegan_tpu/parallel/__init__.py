@@ -13,6 +13,7 @@ from cyclegan_tpu.parallel.mesh import (
     shard_batch,
     replicate_state,
     jit_step,
+    select_step,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "shard_batch",
     "replicate_state",
     "jit_step",
+    "select_step",
 ]

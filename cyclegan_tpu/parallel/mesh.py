@@ -102,6 +102,14 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, rep), state)
 
 
+def select_step(trainer, steps_per_call: int = 1) -> Callable:
+    """The trainer step for a steps-per-call setting: the plain
+    ``train_step``, or ``multi_step`` (lax.scan over a leading-K batch
+    stack — pair with ``shard_batch(..., leading_stack=True)``). One
+    definition so the runner, bench, and dryrun can't diverge."""
+    return trainer.train_step if steps_per_call <= 1 else trainer.multi_step
+
+
 def jit_step(step_fn: Callable, *, donate_state: bool = True) -> Callable:
     """jit a (state, batch, ...) -> (state, metrics) step for SPMD execution.
 

@@ -23,7 +23,7 @@ from cyclegan_tpu.data.loader import (
     Loader, paired_iterator, paired_steps_per_epoch)
 from cyclegan_tpu.data.palette import decode_colormap
 from cyclegan_tpu.parallel import (
-    make_mesh, replicate_state, shard_batch, jit_step)
+    make_mesh, replicate_state, shard_batch, jit_step, select_step)
 from cyclegan_tpu.parallel import distributed
 from cyclegan_tpu.train import metrics as metrics_lib
 from cyclegan_tpu.train.checkpoint import CheckpointManager
@@ -131,7 +131,7 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
     # docs/KERNELS.md round-3). Epoch-tail batches that don't fill a stack
     # are dropped, like drop_last batching.
     spc = max(int(getattr(cfg, "steps_per_call", 1) or 1), 1)
-    step_jit = jit_step(trainer.train_step if spc == 1 else trainer.multi_step)
+    step_jit = jit_step(select_step(trainer, spc))
     eval_jit = jax.jit(trainer.eval_step)
     # Only the primary process writes logs/traces (shared-filesystem safety);
     # every process participates in compute and checkpoint restore.
@@ -233,6 +233,10 @@ def run_supervised(cfg: Config, *, max_steps: int | None = None) -> dict:
     val_ds = make_dataset(cfg.dataset, cfg.data_root, split="val")
     train_loader = _make_loader(cfg, train_ds, train=True, seed=cfg.seed)
     val_loader = _make_loader(cfg, val_ds, train=False, seed=0, drop_last=False)
+    if train_loader.steps_per_epoch() == 0:
+        raise ValueError(
+            f"empty epoch: {len(train_ds)} training images < batch_size "
+            f"{cfg.batch_size} — lower batch_size or raise dataset_size")
     trainer = SupervisedTrainer(
         cfg, num_classes, in_ch,
         _effective_steps_per_epoch(cfg, train_loader.steps_per_epoch()))
