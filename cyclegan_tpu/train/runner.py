@@ -10,7 +10,10 @@ step late to avoid a device sync on the hot path).
 
 from __future__ import annotations
 
+import itertools
 import os
+import signal
+import threading
 import time
 from typing import Any
 
@@ -146,6 +149,66 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
         state = replicate_state(state, mesh)
         print(f"resumed from epoch {start_epoch - 1}", flush=True)
 
+    # --- Preemption-safe mid-epoch checkpointing (cfg.save_every_steps > 0;
+    # beyond the reference's per-epoch saves). Step-keyed wrapper
+    # checkpoints {state, epoch, pos, gstep} under <checkpoint_dir>/mid;
+    # on resume the epoch restarts at batch position `pos` — the loader's
+    # per-(seed, epoch, position) RNG makes the skipped prefix and the
+    # resumed suffix bit-identical to an uninterrupted run. A SIGTERM
+    # (how TPU pods announce preemption) triggers one final save + clean
+    # exit; CYCLEGAN_TPU_PREEMPT_AT_STEP=k injects a deterministic
+    # preemption at optimizer step k for tests/drills.
+    mid_every = max(int(getattr(cfg, "save_every_steps", 0) or 0), 0)
+    mid_ckpt = None
+    skip_calls = 0  # device calls of start_epoch already consumed pre-resume
+
+    def _wrap(st, epoch, pos, gstep):
+        # 0-d ndarrays, not numpy scalars: Orbax's StandardCheckpointHandler
+        # rejects np.int64 scalar leaves in templates.
+        return {"state": st, "epoch": np.asarray(epoch, np.int64),
+                "pos": np.asarray(pos, np.int64),
+                "gstep": np.asarray(gstep, np.int64)}
+
+    if mid_every:
+        mid_ckpt = CheckpointManager(os.path.join(cfg.checkpoint_dir, "mid"),
+                                     max_to_keep=1)
+        mres = mid_ckpt.restore(_wrap(state, 0, 0, 0))
+        # A mid-checkpoint older than the last epoch save is stale: the
+        # epoch it belongs to completed, so the per-epoch restore wins.
+        if mres is not None and int(mres[0]["epoch"]) >= start_epoch:
+            w = mres[0]
+            state = replicate_state(w["state"], mesh)
+            start_epoch, skip_calls = int(w["epoch"]), int(w["pos"])
+            print(f"resumed mid-epoch {start_epoch} at call {skip_calls}",
+                  flush=True)
+    # Global-step base for mid-checkpoint ids: monotonic across resumes
+    # (Orbax requires increasing step ids; the host-local step counter
+    # resets every launch but state.step does not).
+    gstep0 = int(jax.device_get(state.step)) if mid_every else 0
+    last_mid = gstep0
+    preempt = threading.Event()
+    prev_handler: Any = None
+    if mid_every and threading.current_thread() is threading.main_thread():
+        prev_handler = signal.signal(signal.SIGTERM,
+                                     lambda *_: preempt.set())
+    preempt_at = int(os.environ.get("CYCLEGAN_TPU_PREEMPT_AT_STEP", "0") or 0)
+    multi = jax.process_count() > 1
+
+    def _global_preempt() -> bool:
+        """Do all processes agree it's time to stop? Single-process: the
+        local flag. Multi-process: any worker's flag, agreed via an
+        allgather — SIGTERM delivery is per-process and racy, and a worker
+        that saved-and-exited mid-interval while peers kept training would
+        hang Orbax's save coordination. Only called at save boundaries
+        (every `mid_every` steps), where all workers are in lockstep."""
+        if not multi:
+            return preempt.is_set()
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(preempt.is_set(), np.int32))
+        return bool(np.asarray(flags).any())
+
     def stacked(gen):
         """Group K consecutive host batches into one leading-K stack."""
         buf = []
@@ -156,15 +219,20 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
                 buf = []
         # tail < K dropped (documented above)
 
-    def prefetched(epoch, depth=2):
+    def prefetched(epoch, depth=2, skip=0):
         """Keep `depth` batches in flight on device: device_put (async) runs
         while the previous step computes — host->HBM transfer overlaps
-        compute instead of serializing with it."""
+        compute instead of serializing with it. ``skip`` drops the first K
+        device calls of the epoch on the host side (mid-epoch resume): the
+        deterministic loader re-produces the already-trained prefix, which
+        is discarded before any device transfer."""
         import collections
 
         gen = batches_of_epoch(epoch)
         if spc > 1:
             gen = stacked(gen)
+        if skip:
+            gen = itertools.islice(gen, skip, None)
         q = collections.deque()
         for b in gen:
             q.append(shard_batch(b, mesh, leading_stack=spc > 1))
@@ -188,9 +256,11 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
             logger.log(metrics=jax.device_get(dev_m), **kw)
             pending = None
 
+    preempted = False
     for epoch in range(start_epoch, cfg.epochs):
+        epoch_base = skip_calls if epoch == start_epoch else 0
         t0, n = time.perf_counter(), 0
-        for batch in prefetched(epoch):
+        for batch in prefetched(epoch, skip=epoch_base):
             profiler.maybe_start(total_steps)
             state, m = step_jit(state, batch)
             n += spc
@@ -204,6 +274,32 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
             if max_steps is not None and total_steps >= max_steps:
                 stop = True
                 break
+            if mid_every:
+                gstep = gstep0 + total_steps
+                if preempt_at and gstep >= preempt_at:
+                    preempt.set()
+                # Multi-process: act on preemption ONLY at save boundaries
+                # (all workers reach them in lockstep, so the agreement
+                # allgather and the Orbax save are collective-safe).
+                # Single-process: a set flag saves and exits immediately.
+                boundary = gstep - last_mid >= mid_every
+                if boundary or (not multi and preempt.is_set()):
+                    preempted = _global_preempt()
+                    mid_ckpt.save(gstep, _wrap(
+                        jax.device_get(state), epoch,
+                        epoch_base + n // spc, gstep))
+                    last_mid = gstep
+                if preempted:
+                    break
+        if preempted:
+            # Preemption: the epoch is incomplete — do NOT write the
+            # epoch-keyed checkpoint (resume would skip the rest of the
+            # epoch's data); the mid-checkpoint just saved carries the
+            # exact position.
+            if primary:
+                print(f"[preempt] saved mid-epoch checkpoint at step "
+                      f"{last_mid}; exiting", flush=True)
+            break
         if cfg.validation_every > 0 and (epoch + 1) % cfg.validation_every == 0:
             result = _evaluate(trainer, seg_params(state), val_loader, eval_jit,
                                mesh)
@@ -221,6 +317,13 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
     logger.close()
     ckpt.wait()
     ckpt.close()
+    if mid_ckpt is not None:
+        mid_ckpt.wait()
+        mid_ckpt.close()
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
+    if preempted:
+        result = dict(result, preempted=True)
     return result
 
 

@@ -82,6 +82,14 @@ class Config:
     results_dir: str = "./results"
     validation_every: int = 1          # epochs
     log_every: int = 20                # steps
+    # Preemption-safe mid-epoch checkpointing (beyond the reference's
+    # per-epoch saves): every N optimizer steps save a step-keyed
+    # checkpoint under <checkpoint_dir>/mid and install a SIGTERM handler
+    # that saves one final mid-checkpoint before exiting. Resume restarts
+    # mid-epoch at the exact batch position (the loader's per-(seed,
+    # epoch, position) RNG makes the resumed stream bit-identical to an
+    # uninterrupted run — tests/test_preempt_resume.py). 0 = off.
+    save_every_steps: int = 0
 
     # observability (SURVEY.md §5 — absent in the reference)
     profile_dir: str | None = None     # jax.profiler trace target

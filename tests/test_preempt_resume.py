@@ -1,0 +1,153 @@
+"""Preemption-safe mid-epoch checkpoint/resume (``Config.save_every_steps``).
+
+Beyond the reference's per-epoch saves (SURVEY.md §3e): step-keyed
+mid-checkpoints + SIGTERM save. The proof obligation is BIT-IDENTITY: a run
+preempted mid-epoch and resumed must end in exactly the state an
+uninterrupted run reaches — possible because the loader draws augments from
+a per-(seed, epoch, position) RNG, so the resumed stream replays the epoch
+suffix exactly (cyclegan_tpu/data/loader.py).
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from cyclegan_tpu.data.datasets import DATASET_SPECS
+from cyclegan_tpu.train.checkpoint import CheckpointManager
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+from cyclegan_tpu.train.runner import run_cyclegan
+from cyclegan_tpu.utils.config import Config
+
+STEPS_PER_EPOCH = 2  # dataset_size=8, labeled_fraction=0.5, batch 2, zip
+
+
+def _cfg(tmp: Path, name: str, **kw) -> Config:
+    return Config(
+        dataset="synthetic", dataset_size=8, labeled_fraction=0.5,
+        gen_net="resnet_6blocks", crop_height=32, crop_width=32,
+        batch_size=2, pool_size=4, bf16=False, num_devices=1,
+        epochs=3, decay_epoch=2,
+        validation_every=0, log_every=1, seed=3,
+        checkpoint_dir=str(tmp / name / "ckpt"),
+        results_dir=str(tmp / name / "out"),
+        save_every_steps=2, **kw)
+
+
+def _final_state(cfg: Config):
+    num_classes, in_ch, _ = DATASET_SPECS[cfg.dataset]
+    trainer = CycleGANTrainer(cfg, num_classes, in_ch,
+                              steps_per_epoch=STEPS_PER_EPOCH)
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    restored = ckpt.restore(template)
+    ckpt.close()
+    assert restored is not None
+    return restored
+
+
+def _assert_states_equal(a, b):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("spc", [1, 2])
+def test_preempt_resume_bit_identical(tmp_path, monkeypatch, spc):
+    """Kill at optimizer step 3 (mid-epoch-1 for spc=1; for spc=2 the
+    injected step falls on a call boundary, exercising stacked-skip
+    accounting), resume, and compare the final checkpoint bit-for-bit
+    against an uninterrupted run."""
+    monkeypatch.delenv("CYCLEGAN_TPU_PREEMPT_AT_STEP", raising=False)
+    cfg_a = _cfg(tmp_path, f"uninterrupted_spc{spc}", steps_per_call=spc)
+    res_a = run_cyclegan(cfg_a)
+    assert "preempted" not in res_a
+
+    cfg_b = _cfg(tmp_path, f"preempted_spc{spc}", steps_per_call=spc)
+    monkeypatch.setenv("CYCLEGAN_TPU_PREEMPT_AT_STEP", "3")
+    res_b = run_cyclegan(cfg_b)
+    assert res_b.get("preempted") is True
+    mid = CheckpointManager(os.path.join(cfg_b.checkpoint_dir, "mid"))
+    assert mid.latest_epoch() is not None  # a mid-step checkpoint exists
+    mid.close()
+
+    monkeypatch.delenv("CYCLEGAN_TPU_PREEMPT_AT_STEP")
+    res_b2 = run_cyclegan(cfg_b)
+    assert "preempted" not in res_b2
+
+    state_a, next_a = _final_state(cfg_a)
+    state_b, next_b = _final_state(cfg_b)
+    assert next_a == next_b == cfg_a.epochs
+    _assert_states_equal(state_a, state_b)
+    # The step counters agree on the total optimizer steps taken.
+    assert int(state_a.step) == cfg_a.epochs * STEPS_PER_EPOCH
+
+
+def test_completed_run_ignores_stale_mid_checkpoint(tmp_path, monkeypatch):
+    """After the final epoch's save, the leftover mid-checkpoint is stale
+    (its epoch completed) — relaunching must not rewind into it."""
+    monkeypatch.setenv("CYCLEGAN_TPU_PREEMPT_AT_STEP", "3")
+    cfg = _cfg(tmp_path, "stale")
+    run_cyclegan(cfg)
+    monkeypatch.delenv("CYCLEGAN_TPU_PREEMPT_AT_STEP")
+    run_cyclegan(cfg)  # completes epochs 1-2
+    state, nxt = _final_state(cfg)
+    assert nxt == cfg.epochs
+    res = run_cyclegan(cfg)  # no epochs left; stale mid ignored
+    assert "preempted" not in res
+    state2, nxt2 = _final_state(cfg)
+    assert nxt2 == cfg.epochs
+    _assert_states_equal(state, state2)
+
+
+@pytest.mark.slow
+def test_sigterm_saves_and_exits_cleanly(tmp_path):
+    """Real-signal path: a CLI training run receives SIGTERM, writes a
+    final mid-checkpoint, and exits 0 (clean preemption handoff)."""
+    ckpt_dir = tmp_path / "ckpt"
+    cmd = [
+        sys.executable, "-m", "cyclegan_tpu.main", "--training",
+        "--dataset", "synthetic", "--dataset_size", "8",
+        "--labeled_fraction", "0.5", "--gen_net", "resnet_6blocks",
+        "--crop_height", "32", "--crop_width", "32", "--batch_size", "2",
+        "--pool_size", "4", "--epochs", "200", "--decay_epoch", "100",
+        "--validation_every", "0", "--save_every_steps", "1",
+        "--platform", "cpu", "--no_bf16", "--num_devices", "1",
+        "--checkpoint_dir", str(ckpt_dir),
+        "--results_dir", str(tmp_path / "out"),
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(cmd, cwd=str(Path(__file__).resolve().parent.parent),
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            env=env, text=True)
+    try:
+        mid_dir = ckpt_dir / "mid"
+        deadline = time.time() + 600
+        # Wait until the first mid-checkpoint lands (training is underway).
+        while time.time() < deadline:
+            if mid_dir.is_dir() and any(
+                    p.name.isdigit() for p in mid_dir.iterdir()):
+                break
+            if proc.poll() is not None:
+                out = proc.stdout.read()
+                pytest.fail(f"training exited early ({proc.returncode}):\n{out}")
+            time.sleep(1.0)
+        else:
+            pytest.fail("no mid-checkpoint appeared within the deadline")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, f"expected clean exit, got {proc.returncode}:\n{out}"
+    assert "[preempt] saved mid-epoch checkpoint" in out
