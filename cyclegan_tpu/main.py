@@ -33,6 +33,16 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="one of the benchmark presets (see utils.config.PRESETS)")
     p.add_argument("--max_steps", type=int, default=None,
                    help="stop after N optimizer steps (smoke runs)")
+    p.add_argument("--export", type=str, default=None, metavar="PATH",
+                   help="export the latest checkpoint as a self-contained "
+                        "StableHLO serving artifact (see cyclegan_tpu.export)")
+    p.add_argument("--export_what", choices=["segment", "generate"],
+                   default="segment")
+    p.add_argument("--export_batch", type=str, default="b",
+                   help="fixed batch size (int) or a symbolic dim name for "
+                        "batch-polymorphic serving (default 'b')")
+    p.add_argument("--export_platforms", type=str, default="cpu,tpu",
+                   help="comma-separated lowering targets")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu, tpu) — needed because "
                         "this environment's sitecustomize overrides JAX_PLATFORMS")
@@ -81,7 +91,16 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", args.platform)
     from cyclegan_tpu.train import runner  # deferred: jax init is slow
 
-    if args.testing:
+    if args.export:
+        from cyclegan_tpu import export as export_lib
+
+        batch = (int(args.export_batch) if args.export_batch.isdigit()
+                 else args.export_batch)
+        export_lib.run_export(
+            cfg, args.export, semisupervised=args.model == "semisupervised",
+            what=args.export_what, batch=batch,
+            platforms=tuple(s for s in args.export_platforms.split(",") if s))
+    elif args.testing:
         runner.run_test(cfg, semisupervised=args.model == "semisupervised")
     elif args.training:
         if args.model == "supervised":

@@ -48,6 +48,11 @@ def _fence(env: str, batch: int) -> bool:
         return False
     if mode == "on":
         return True
+    if not isinstance(batch, int):
+        # Symbolic batch (jax.export shape polymorphism): `batch <= 4` is
+        # inconclusive, and a serving artifact must run at any batch —
+        # take the plain XLA path.
+        return False
     return (mode == "auto" and batch <= 4
             and jax.default_backend() == "tpu")
 
