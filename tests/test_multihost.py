@@ -376,6 +376,110 @@ def test_two_process_checkpoint_resume(tmp_path):
                                        "uninterrupted run")
 
 
+_PREEMPT_WORKER = r"""
+import json, os, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+COORD, PID, WORKDIR, EPOCHS, PREEMPT_AT = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
+    int(sys.argv[5]))
+# Deliberately asymmetric: ONLY worker 0 receives the preemption signal —
+# the runner's boundary allgather must stop BOTH workers in lockstep
+# (SIGTERM delivery on real pods is per-process and racy).
+if PREEMPT_AT and PID == 0:
+    os.environ["CYCLEGAN_TPU_PREEMPT_AT_STEP"] = str(PREEMPT_AT)
+jax.distributed.initialize(coordinator_address=COORD, num_processes=2,
+                           process_id=PID)
+sys.path.insert(0, %(root)r)
+
+from jax.experimental import multihost_utils
+
+multihost_utils.sync_global_devices("gloo-warmup")
+
+import jax.numpy as jnp
+from cyclegan_tpu.train.runner import run_cyclegan
+from cyclegan_tpu.train.checkpoint import CheckpointManager
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+from cyclegan_tpu.utils.config import Config
+
+# dataset_size=32 -> 2 optimizer steps/epoch, so step 3 is MID-epoch-1.
+cfg = Config(dataset="synthetic", gen_net="resnet_6blocks", ngf=4, ndf=4,
+             bf16=False, crop_height=24, crop_width=24, batch_size=8,
+             pool_size=2, labeled_fraction=0.5, epochs=EPOCHS, decay_epoch=2,
+             dataset_size=32, validation_every=0, log_every=100,
+             save_every_steps=1,
+             checkpoint_dir=WORKDIR + "/ckpt", results_dir=WORKDIR + "/res")
+val = run_cyclegan(cfg)
+tr = CycleGANTrainer(cfg, 21, 3, steps_per_epoch=2)
+ckpt = CheckpointManager(cfg.checkpoint_dir)
+res = ckpt.restore(tr.init_state(jax.random.PRNGKey(cfg.seed)))
+ckpt.close()
+state, next_epoch = res if res is not None else (None, -1)
+sums = [] if state is None else [
+    float(jnp.asarray(x).astype(jnp.float64).sum())
+    for x in jax.tree.leaves(state.g_i2l) + jax.tree.leaves(state.d_img)]
+print("PREEMPT_DONE " + json.dumps(
+    {"pid": PID, "next_epoch": next_epoch,
+     "preempted": bool(val.get("preempted", False)), "sums": sums}),
+    flush=True)
+""" % {"root": str(ROOT)}
+
+
+def _run_preempt_workers(tmp_path, epochs, preempt_at):
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("CYCLEGAN_TPU_PREEMPT_AT_STEP", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _PREEMPT_WORKER, coord, str(pid),
+         str(tmp_path), str(epochs), str(preempt_at)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+            assert p.returncode == 0, f"preempt worker failed:\n{out[-5000:]}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    recs = []
+    for out in outs:
+        line = next(ln for ln in out.splitlines()
+                    if ln.startswith("PREEMPT_DONE "))
+        recs.append(json.loads(line[len("PREEMPT_DONE "):]))
+    return recs
+
+
+@pytest.mark.slow
+def test_two_process_mid_epoch_preempt_resume(tmp_path):
+    """Mid-epoch preemption across 2 processes (Config.save_every_steps):
+    only worker 0 is signalled at optimizer step 3 (mid-epoch-1); the
+    runner's save-boundary allgather must stop BOTH workers together, and
+    a relaunched pair must resume at the exact batch position and finish
+    identical to an uninterrupted 2-process run."""
+    interrupted = _run_preempt_workers(tmp_path / "interrupted", epochs=2,
+                                       preempt_at=3)
+    assert all(r["preempted"] for r in interrupted), interrupted
+    resumed = _run_preempt_workers(tmp_path / "interrupted", epochs=2,
+                                   preempt_at=0)
+    assert not any(r["preempted"] for r in resumed)
+    straight = _run_preempt_workers(tmp_path / "straight", epochs=2,
+                                    preempt_at=0)
+    assert resumed[0]["next_epoch"] == straight[0]["next_epoch"] == 2
+    np.testing.assert_array_equal(resumed[0]["sums"], resumed[1]["sums"])
+    np.testing.assert_allclose(
+        resumed[0]["sums"], straight[0]["sums"], rtol=1e-7,
+        err_msg="preempted+resumed run diverged from the uninterrupted run")
+
+
 @pytest.mark.slow
 def test_two_process_runner_end_to_end(tmp_path):
     """The FULL runner (grain loader with row sharding, sharded train
