@@ -175,7 +175,8 @@ def _free_port() -> int:
 
 def _launch(coord: str, pid: int) -> subprocess.Popen:
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=4")
     return subprocess.Popen(
         [sys.executable, "-c", _WORKER, coord, str(pid)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
@@ -206,7 +207,8 @@ def test_two_process_dp_matches_single_process():
     # Single-process 8-device reference run (separate subprocess so the
     # devices/config of the current pytest process stay untouched).
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8")
     ref = subprocess.run(
         [sys.executable, "-c", _WORKER, "unused", "-1"],
         capture_output=True, text=True, env=env, timeout=900)
@@ -329,7 +331,8 @@ print("RESUME_DONE " + json.dumps(
 
 def _run_resume_workers(coord, tmp_path, epochs):
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=4")
     procs = [subprocess.Popen(
         [sys.executable, "-c", _RESUME_WORKER, coord, str(pid),
          str(tmp_path), str(epochs)],
@@ -434,7 +437,8 @@ def _run_preempt_workers(tmp_path, epochs, preempt_at):
     coord = f"localhost:{_free_port()}"
     env = dict(os.environ)
     env.pop("CYCLEGAN_TPU_PREEMPT_AT_STEP", None)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=4")
     procs = [subprocess.Popen(
         [sys.executable, "-c", _PREEMPT_WORKER, coord, str(pid),
          str(tmp_path), str(epochs), str(preempt_at)],
@@ -487,7 +491,8 @@ def test_two_process_runner_end_to_end(tmp_path):
     two real processes."""
     coord = f"localhost:{_free_port()}"
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=4")
     procs = [subprocess.Popen(
         [sys.executable, "-c", _RUNNER_WORKER, coord, str(pid), str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
