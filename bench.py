@@ -223,8 +223,11 @@ def measure_jax_inference(size: int, batch: int, steps: int, warmup: int, *,
     return steps * batch / (time.perf_counter() - t0)
 
 
-def _resolve_platform(retries: int = 3, wait_s: int = 30) -> str:
-    """TPU if the axon tunnel registers (it is flaky — retry), else CPU."""
+def _resolve_platform(retries: int = 10, wait_s: int = 60) -> str:
+    """TPU if the axon tunnel registers, else CPU. The tunnel flaps with
+    multi-minute outages; retry for ~10 min before giving up — a CPU
+    fallback records a meaningless number if this is the round's official
+    bench run, so patience is cheap."""
     import time as _time
 
     import jax
