@@ -378,8 +378,8 @@ def main() -> None:
     if platform == "cpu-fallback":
         result["note"] = ("TPU tunnel unavailable; degraded CPU config "
                           "(resnet_6blocks 128x128). Real-TPU reference: "
-                          "17.6 steps/s at 256x256 b1 = 420x baseline "
-                          "(BASELINE.md, 2026-08-16)")
+                          "24.15-25.08 steps/s at 256x256 b1 = ~507x baseline "
+                          "(BASELINE.md round-3 refresh, 2026-08-17)")
     print(json.dumps(result))
 
 

@@ -93,20 +93,10 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
     ``generate`` (label map -> synthesized image, the l2i GAN head;
     semi-supervised checkpoints only).
     """
-    from cyclegan_tpu.data.datasets import DATASET_SPECS
-    from cyclegan_tpu.train.checkpoint import CheckpointManager
-    from cyclegan_tpu.train.cyclegan import CycleGANTrainer
-    from cyclegan_tpu.train.supervised import SupervisedTrainer
+    from cyclegan_tpu.train.checkpoint import restore_for_inference
 
-    num_classes, in_ch, _ = DATASET_SPECS[cfg.dataset]
-    cls = CycleGANTrainer if semisupervised else SupervisedTrainer
-    trainer = cls(cfg, num_classes, in_ch, steps_per_epoch=1)
-    ckpt = CheckpointManager(cfg.checkpoint_dir)
-    restored = ckpt.restore(trainer.init_state(jax.random.PRNGKey(cfg.seed)))
-    ckpt.close()
-    if restored is None:
-        raise FileNotFoundError(f"no checkpoint in {cfg.checkpoint_dir}")
-    state, _ = restored
+    trainer, state, num_classes, in_ch = restore_for_inference(
+        cfg, semisupervised=semisupervised)
     h, w = cfg.crop_hw
 
     if what == "segment":

@@ -68,7 +68,19 @@ class CheckpointManager:
         match the run that wrote the checkpoint (the reference doesn't
         checkpoint pools at all — SURVEY.md §3e). Restore them at the STORED
         shape/dtype so ``--testing``/resume works across pool_size or
-        precision changes."""
+        precision changes.
+
+        Handles both a bare train state and the mid-epoch wrapper dict
+        (``{"state": st, "epoch": ..., ...}`` — runner._train_loop), so
+        pool_size/precision changes reconcile on mid-epoch resume too."""
+        if isinstance(template, dict) and "state" in template:
+            return {**template,
+                    "state": self._reconcile_pools(step, template["state"],
+                                                   ("state",))}
+        return self._reconcile_pools(step, template, ())
+
+    def _reconcile_pools(self, step: int, template: Any,
+                         _prefix: tuple) -> Any:
         if not hasattr(template, "pool_img"):
             return template  # supervised state has no pools
         try:
@@ -77,6 +89,8 @@ class CheckpointManager:
             with ocp.PyTreeCheckpointer() as c:
                 meta = c.metadata(os.path.join(self._dir, str(step), "default"))
             tree = getattr(meta, "item_metadata", meta)
+            for k in _prefix:
+                tree = tree[k]
 
             def fix(pool, name):
                 node = tree[name]["buffer"]
@@ -105,3 +119,28 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mngr.close()
+
+
+def restore_for_inference(cfg, *, semisupervised: bool):
+    """Build the trainer for ``cfg`` and restore its latest epoch checkpoint
+    — the shared entry for every post-training consumer (``--testing``
+    in runner.run_test, ``--export`` in export.run_export).
+
+    Returns ``(trainer, state, num_classes, in_channels)``; raises
+    FileNotFoundError when no checkpoint exists under cfg.checkpoint_dir.
+    """
+    from cyclegan_tpu.data.datasets import DATASET_SPECS
+    from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+    from cyclegan_tpu.train.supervised import SupervisedTrainer
+
+    num_classes, in_ch, _ = DATASET_SPECS[cfg.dataset]
+    cls = CycleGANTrainer if semisupervised else SupervisedTrainer
+    trainer = cls(cfg, num_classes, in_ch, steps_per_epoch=1)
+    mngr = CheckpointManager(cfg.checkpoint_dir)
+    try:
+        restored = mngr.restore(trainer.init_state(jax.random.PRNGKey(cfg.seed)))
+    finally:
+        mngr.close()
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint in {cfg.checkpoint_dir}")
+    return trainer, restored[0], num_classes, in_ch

@@ -29,6 +29,7 @@ from cyclegan_tpu.parallel import (
     make_mesh, replicate_state, shard_batch, jit_step, select_step)
 from cyclegan_tpu.parallel import distributed
 from cyclegan_tpu.train import metrics as metrics_lib
+from cyclegan_tpu.train import checkpoint as checkpoint_lib
 from cyclegan_tpu.train.checkpoint import CheckpointManager
 from cyclegan_tpu.train.cyclegan import CycleGANTrainer
 from cyclegan_tpu.train.supervised import SupervisedTrainer
@@ -164,10 +165,14 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
 
     def _wrap(st, epoch, pos, gstep):
         # 0-d ndarrays, not numpy scalars: Orbax's StandardCheckpointHandler
-        # rejects np.int64 scalar leaves in templates.
+        # rejects np.int64 scalar leaves in templates. `pos` counts DEVICE
+        # CALLS (steps_per_call stacks), so the writing run's spc is stored
+        # alongside it — a resume with a different --steps_per_call would
+        # silently re-train or skip batches.
         return {"state": st, "epoch": np.asarray(epoch, np.int64),
                 "pos": np.asarray(pos, np.int64),
-                "gstep": np.asarray(gstep, np.int64)}
+                "gstep": np.asarray(gstep, np.int64),
+                "spc": np.asarray(spc, np.int64)}
 
     if mid_every:
         mid_ckpt = CheckpointManager(os.path.join(cfg.checkpoint_dir, "mid"),
@@ -177,6 +182,13 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
         # epoch it belongs to completed, so the per-epoch restore wins.
         if mres is not None and int(mres[0]["epoch"]) >= start_epoch:
             w = mres[0]
+            if int(w["spc"]) != spc:
+                raise ValueError(
+                    f"mid-epoch checkpoint in {cfg.checkpoint_dir}/mid was "
+                    f"written with --steps_per_call {int(w['spc'])} but this "
+                    f"run uses {spc}; its position is stored in device-call "
+                    f"units — relaunch with --steps_per_call {int(w['spc'])} "
+                    f"(or delete the mid/ dir to restart the epoch)")
             state = replicate_state(w["state"], mesh)
             start_epoch, skip_calls = int(w["epoch"]), int(w["pos"])
             print(f"resumed mid-epoch {start_epoch} at call {skip_calls}",
@@ -257,71 +269,77 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
             pending = None
 
     preempted = False
-    for epoch in range(start_epoch, cfg.epochs):
-        epoch_base = skip_calls if epoch == start_epoch else 0
-        t0, n = time.perf_counter(), 0
-        for batch in prefetched(epoch, skip=epoch_base):
-            profiler.maybe_start(total_steps)
-            state, m = step_jit(state, batch)
-            n += spc
-            total_steps += spc
-            profiler.maybe_stop(total_steps)
-            if (n // spc) % max(cfg.log_every // spc, 1) == 0 and primary:
-                sps = n / (time.perf_counter() - t0)
-                flush_pending()
-                pending = (dict(step=total_steps, epoch=epoch,
-                                steps_per_sec=sps), m)
-            if max_steps is not None and total_steps >= max_steps:
-                stop = True
-                break
-            if mid_every:
-                gstep = gstep0 + total_steps
-                if preempt_at and gstep >= preempt_at:
-                    preempt.set()
-                # Multi-process: act on preemption ONLY at save boundaries
-                # (all workers reach them in lockstep, so the agreement
-                # allgather and the Orbax save are collective-safe).
-                # Single-process: a set flag saves and exits immediately.
-                boundary = gstep - last_mid >= mid_every
-                if boundary or (not multi and preempt.is_set()):
-                    preempted = _global_preempt()
-                    mid_ckpt.save(gstep, _wrap(
-                        jax.device_get(state), epoch,
-                        epoch_base + n // spc, gstep))
-                    last_mid = gstep
-                if preempted:
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            epoch_base = skip_calls if epoch == start_epoch else 0
+            t0, n = time.perf_counter(), 0
+            for batch in prefetched(epoch, skip=epoch_base):
+                profiler.maybe_start(total_steps)
+                state, m = step_jit(state, batch)
+                n += spc
+                total_steps += spc
+                profiler.maybe_stop(total_steps)
+                if (n // spc) % max(cfg.log_every // spc, 1) == 0 and primary:
+                    sps = n / (time.perf_counter() - t0)
+                    flush_pending()
+                    pending = (dict(step=total_steps, epoch=epoch,
+                                    steps_per_sec=sps), m)
+                if max_steps is not None and total_steps >= max_steps:
+                    stop = True
                     break
-        if preempted:
-            # Preemption: the epoch is incomplete — do NOT write the
-            # epoch-keyed checkpoint (resume would skip the rest of the
-            # epoch's data); the mid-checkpoint just saved carries the
-            # exact position.
-            if primary:
-                print(f"[preempt] saved mid-epoch checkpoint at step "
-                      f"{last_mid}; exiting", flush=True)
-            break
-        if cfg.validation_every > 0 and (epoch + 1) % cfg.validation_every == 0:
-            result = _evaluate(trainer, seg_params(state), val_loader, eval_jit,
-                               mesh)
-            if primary:
-                print(f"[epoch {epoch}] val {result}", flush=True)
-            if on_validate is not None and primary:
-                on_validate(state, epoch)
-        # All processes call save: Orbax's multiprocess coordination expects
-        # every process to participate; only the primary host writes.
-        ckpt.save(epoch, jax.device_get(state))
-        if stop:
-            break
-    flush_pending()
-    profiler.finish()
-    logger.close()
-    ckpt.wait()
-    ckpt.close()
-    if mid_ckpt is not None:
-        mid_ckpt.wait()
-        mid_ckpt.close()
-    if prev_handler is not None:
-        signal.signal(signal.SIGTERM, prev_handler)
+                if mid_every:
+                    gstep = gstep0 + total_steps
+                    if preempt_at and gstep >= preempt_at:
+                        preempt.set()
+                    # Multi-process: act on preemption ONLY at save boundaries
+                    # (all workers reach them in lockstep, so the agreement
+                    # allgather and the Orbax save are collective-safe).
+                    # Single-process: a set flag saves and exits immediately.
+                    boundary = gstep - last_mid >= mid_every
+                    if boundary or (not multi and preempt.is_set()):
+                        preempted = _global_preempt()
+                        mid_ckpt.save(gstep, _wrap(
+                            jax.device_get(state), epoch,
+                            epoch_base + n // spc, gstep))
+                        last_mid = gstep
+                    if preempted:
+                        break
+            if preempted:
+                # Preemption: the epoch is incomplete — do NOT write the
+                # epoch-keyed checkpoint (resume would skip the rest of the
+                # epoch's data); the mid-checkpoint just saved carries the
+                # exact position.
+                if primary:
+                    print(f"[preempt] saved mid-epoch checkpoint at step "
+                          f"{last_mid}; exiting", flush=True)
+                break
+            if cfg.validation_every > 0 and (epoch + 1) % cfg.validation_every == 0:
+                result = _evaluate(trainer, seg_params(state), val_loader, eval_jit,
+                                   mesh)
+                if primary:
+                    print(f"[epoch {epoch}] val {result}", flush=True)
+                if on_validate is not None and primary:
+                    on_validate(state, epoch)
+            # All processes call save: Orbax's multiprocess coordination expects
+            # every process to participate; only the primary host writes.
+            ckpt.save(epoch, jax.device_get(state))
+            if stop:
+                break
+        flush_pending()
+    finally:
+        # Runs on exceptions too: the replaced SIGTERM handler must never
+        # outlive the loop (a leaked handler would silently swallow real
+        # preemption signals in a long-lived host process), and the open
+        # checkpoint managers/loggers must not leak on a mid-run error.
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
+        profiler.finish()
+        logger.close()
+        ckpt.wait()
+        ckpt.close()
+        if mid_ckpt is not None:
+            mid_ckpt.wait()
+            mid_ckpt.close()
     if preempted:
         result = dict(result, preempted=True)
     return result
@@ -431,20 +449,12 @@ def _dump_samples(cfg: Config, trainer: CycleGANTrainer, state, val_loader: Load
 def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
     """Inference path (SURVEY.md §3c): load checkpoint, predict val split,
     colorize PNGs into results_dir, report mIoU/pixel-acc."""
-    num_classes, in_ch = _dataset_spec(cfg)
+    trainer, state, num_classes, in_ch = checkpoint_lib.restore_for_inference(
+        cfg, semisupervised=semisupervised)
     val_ds = make_dataset(cfg.dataset, cfg.data_root, split="val")
     val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
                         train=False, drop_last=False,
                         eval_mode=cfg.eval_resize)
-    cls = CycleGANTrainer if semisupervised else SupervisedTrainer
-    trainer = cls(cfg, num_classes, in_ch, steps_per_epoch=1)
-
-    ckpt = CheckpointManager(cfg.checkpoint_dir)
-    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    restored = ckpt.restore(template)
-    if restored is None:
-        raise FileNotFoundError(f"no checkpoint in {cfg.checkpoint_dir}")
-    state, _ = restored
     params = state.g_i2l if semisupervised else state.params
     eval_jit = jax.jit(trainer.eval_step)
     predict_jit = jax.jit(trainer.predict)
@@ -465,7 +475,6 @@ def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
         if "label" in batch:
             h = eval_jit(params, batch)
             hist = h if hist is None else hist + h
-    ckpt.close()
     out = {}
     if hist is not None:
         out = {k: float(v) for k, v in metrics_lib.scores(hist).items()

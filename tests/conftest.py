@@ -11,15 +11,11 @@ import os
 
 # XLA's CPU collective rendezvous hard-aborts the process if any virtual
 # device thread takes >40 s to reach a collective — routine scheduler
-# starvation when 8 virtual devices share a 1-core CI VM (see
-# __graft_entry__._ensure_cpu_devices). Must be set before backend init.
-_flags = os.environ.get("XLA_FLAGS", "")
-for _flag, _v in (("--xla_cpu_collective_timeout_seconds", 1200),
-                  ("--xla_cpu_collective_call_warn_stuck_timeout_seconds", 600),
-                  ("--xla_cpu_collective_call_terminate_timeout_seconds", 1200)):
-    if _flag not in _flags:
-        _flags += f" {_flag}={_v}"
-os.environ["XLA_FLAGS"] = _flags
+# starvation when 8 virtual devices share a 1-core CI VM. Must be set
+# before backend init (the helper imports no jax).
+from cyclegan_tpu.utils.cpuflags import ensure_cpu_collective_timeouts
+
+ensure_cpu_collective_timeouts()
 
 import jax
 

@@ -88,6 +88,36 @@ def test_empty_pool_checkpoint_roundtrip(tmp_path):
         np.asarray(state.g_i2l["params"]["ConvBlock_0"]["kernel"]))
 
 
+def test_mid_wrapper_dict_reconciles_pool_shapes(tmp_path):
+    """The mid-epoch wrapper ({"state": st, "epoch": ...} —
+    runner._train_loop) must get the same stored-shape pool reconcile as a
+    bare state: a pool_size change between the preempted run and the resume
+    restores the STORED buffers instead of an opaque Orbax shape error."""
+    def wrap(st):
+        return {"state": st, "epoch": np.asarray(0, np.int64),
+                "pos": np.asarray(1, np.int64),
+                "gstep": np.asarray(1, np.int64),
+                "spc": np.asarray(1, np.int64)}
+
+    cfg4 = Config(gen_net="resnet_6blocks", ngf=8, ndf=8, bf16=False,
+                  crop_height=24, crop_width=24, batch_size=2, pool_size=4,
+                  epochs=2, decay_epoch=1)
+    tr4 = CycleGANTrainer(cfg4, num_classes=4, in_channels=3, steps_per_epoch=2)
+    stored = tr4.init_state(jax.random.PRNGKey(0))
+    mngr = CheckpointManager(str(tmp_path / "mid"))
+    mngr.save(1, wrap(jax.device_get(stored)))
+    mngr.wait()
+
+    cfg2 = cfg4.replace(pool_size=2)
+    tr2 = CycleGANTrainer(cfg2, num_classes=4, in_channels=3, steps_per_epoch=2)
+    template = wrap(jax.device_get(tr2.init_state(jax.random.PRNGKey(1))))
+    restored, _ = mngr.restore(template)
+    mngr.close()
+    assert restored["state"].pool_img.buffer.shape == \
+        stored.pool_img.buffer.shape
+    assert int(restored["pos"]) == 1
+
+
 def test_empty_pool_checkpoint_mismatch_raises(tmp_path):
     """Resuming a pool_size=0 checkpoint with pool_size>0 raises an
     actionable error instead of restoring garbage."""

@@ -44,7 +44,9 @@ except Exception:
 COORD, PID = sys.argv[1], int(sys.argv[2])
 if PID >= 0:
     jax.distributed.initialize(coordinator_address=COORD, num_processes=2,
-                               process_id=PID)
+                               process_id=PID,
+                               heartbeat_timeout_seconds=600,
+                               shutdown_timeout_seconds=1200)
 jax.config.update("jax_default_matmul_precision", "highest")
 sys.path.insert(0, %(root)r)
 
@@ -261,8 +263,13 @@ try:
 except Exception:
     pass
 COORD, PID, WORKDIR = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+# 1-core CI hosts starve a worker for minutes (Orbax restore, compile);
+# the default 100 s heartbeat / 300 s shutdown barrier then kills the run
+# as "peer died" even though both workers are healthy.
 jax.distributed.initialize(coordinator_address=COORD, num_processes=2,
-                           process_id=PID)
+                           process_id=PID,
+                           heartbeat_timeout_seconds=600,
+                           shutdown_timeout_seconds=1200)
 sys.path.insert(0, %(root)r)
 
 from jax.experimental import multihost_utils
@@ -295,8 +302,13 @@ except Exception:
     pass
 COORD, PID, WORKDIR, EPOCHS = (sys.argv[1], int(sys.argv[2]), sys.argv[3],
                                int(sys.argv[4]))
+# 1-core CI hosts starve a worker for minutes (Orbax restore, compile);
+# the default 100 s heartbeat / 300 s shutdown barrier then kills the run
+# as "peer died" even though both workers are healthy.
 jax.distributed.initialize(coordinator_address=COORD, num_processes=2,
-                           process_id=PID)
+                           process_id=PID,
+                           heartbeat_timeout_seconds=600,
+                           shutdown_timeout_seconds=1200)
 sys.path.insert(0, %(root)r)
 
 from jax.experimental import multihost_utils
@@ -396,8 +408,13 @@ COORD, PID, WORKDIR, EPOCHS, PREEMPT_AT = (
 # (SIGTERM delivery on real pods is per-process and racy).
 if PREEMPT_AT and PID == 0:
     os.environ["CYCLEGAN_TPU_PREEMPT_AT_STEP"] = str(PREEMPT_AT)
+# 1-core CI hosts starve a worker for minutes (Orbax restore, compile);
+# the default 100 s heartbeat / 300 s shutdown barrier then kills the run
+# as "peer died" even though both workers are healthy.
 jax.distributed.initialize(coordinator_address=COORD, num_processes=2,
-                           process_id=PID)
+                           process_id=PID,
+                           heartbeat_timeout_seconds=600,
+                           shutdown_timeout_seconds=1200)
 sys.path.insert(0, %(root)r)
 
 from jax.experimental import multihost_utils

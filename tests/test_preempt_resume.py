@@ -34,6 +34,10 @@ def _cfg(tmp: Path, name: str, **kw) -> Config:
     return Config(
         dataset="synthetic", dataset_size=8, labeled_fraction=0.5,
         gen_net="resnet_6blocks", crop_height=32, crop_width=32,
+        # Narrow nets: resume accounting is channel-width-independent and
+        # full-width runs blow the suite budget on few-core hosts (same
+        # rationale as the dryrun narrowing, commit 7b6fcd7).
+        ngf=4, ndf=4,
         batch_size=2, pool_size=4, bf16=False, num_devices=1,
         epochs=3, decay_epoch=2,
         validation_every=0, log_every=1, seed=3,
@@ -107,6 +111,23 @@ def test_completed_run_ignores_stale_mid_checkpoint(tmp_path, monkeypatch):
     state2, nxt2 = _final_state(cfg)
     assert nxt2 == cfg.epochs
     _assert_states_equal(state, state2)
+
+
+def test_mid_resume_rejects_steps_per_call_change(tmp_path, monkeypatch):
+    """The mid-checkpoint position counts DEVICE CALLS; resuming with a
+    different --steps_per_call would silently re-train or skip batches, so
+    the runner must refuse with an actionable error."""
+    cfg = _cfg(tmp_path, "spc_mismatch", steps_per_call=2)
+    monkeypatch.setenv("CYCLEGAN_TPU_PREEMPT_AT_STEP", "2")
+    res = run_cyclegan(cfg)
+    assert res.get("preempted") is True
+    monkeypatch.delenv("CYCLEGAN_TPU_PREEMPT_AT_STEP")
+    cfg_resume = _cfg(tmp_path, "spc_mismatch", steps_per_call=1)
+    with pytest.raises(ValueError, match="steps_per_call 2"):
+        run_cyclegan(cfg_resume)
+    # Relaunching with the stored value proceeds normally.
+    res2 = run_cyclegan(_cfg(tmp_path, "spc_mismatch", steps_per_call=2))
+    assert "preempted" not in res2
 
 
 @pytest.mark.slow
