@@ -43,6 +43,21 @@ def get_args(argv=None) -> argparse.Namespace:
                         "batch-polymorphic serving (default 'b')")
     p.add_argument("--export_platforms", type=str, default="cpu,tpu",
                    help="comma-separated lowering targets")
+    p.add_argument("--serve", type=str, default=None, metavar="ARTIFACT",
+                   help="run an exported .shlo artifact over a directory of "
+                        "images (standalone — no checkpoint needed; see "
+                        "cyclegan_tpu.serve)")
+    p.add_argument("--serve_input", type=str, default=None, metavar="DIR",
+                   help="input image directory for --serve")
+    p.add_argument("--serve_output", type=str, default=None, metavar="DIR",
+                   help="prediction PNG output directory for --serve "
+                        "(default: results_dir)")
+    p.add_argument("--serve_gt", type=str, default=None, metavar="DIR",
+                   help="optional ground-truth mask directory (same stems, "
+                        ".png) — enables mIoU/pixel-acc scoring")
+    p.add_argument("--serve_batch", type=int, default=8,
+                   help="serving batch size (batch-polymorphic artifacts "
+                        "compile once per distinct size)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu, tpu) — needed because "
                         "this environment's sitecustomize overrides JAX_PLATFORMS")
@@ -91,7 +106,17 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", args.platform)
     from cyclegan_tpu.train import runner  # deferred: jax init is slow
 
-    if args.export:
+    if args.serve:
+        if not args.serve_input:
+            raise SystemExit("--serve needs --serve_input DIR")
+        from cyclegan_tpu import serve as serve_lib
+
+        serve_lib.run_serve(
+            args.serve, args.serve_input,
+            args.serve_output or cfg.results_dir,
+            batch_size=args.serve_batch, gt_dir=args.serve_gt,
+            eval_resize=cfg.eval_resize)
+    elif args.export:
         from cyclegan_tpu import export as export_lib
 
         batch = (int(args.export_batch) if args.export_batch.isdigit()
@@ -99,7 +124,8 @@ def main(argv=None) -> None:
         export_lib.run_export(
             cfg, args.export, semisupervised=args.model == "semisupervised",
             what=args.export_what, batch=batch,
-            platforms=tuple(s for s in args.export_platforms.split(",") if s))
+            platforms=tuple(s.strip() for s in args.export_platforms.split(",")
+                            if s.strip()))
     elif args.testing:
         runner.run_test(cfg, semisupervised=args.model == "semisupervised")
     elif args.training:

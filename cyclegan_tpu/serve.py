@@ -1,0 +1,140 @@
+"""Standalone serving consumer for exported StableHLO artifacts.
+
+Completes the deployment story begun by ``cyclegan_tpu.export``: load a
+``.shlo`` artifact (weights embedded, batch-polymorphic) plus its JSON
+manifest, stream a directory of images through the predictor, write
+colorized PNGs, and optionally score against ground-truth masks. Needs
+ONLY the artifact — no checkpoint, no trainer construction, no framework
+state. The reference's deployment path ends at ``--testing`` PNG dumps
+from a live checkpoint (SURVEY.md §3c); this serves the same outputs from
+a self-contained compiled artifact on any host with a matching backend.
+
+CLI: ``python -m cyclegan_tpu.main --serve model.shlo --serve_input imgs/
+--serve_output preds/ [--serve_gt masks/]``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+import jax
+import numpy as np
+
+from cyclegan_tpu.data.palette import decode_colormap, encode_colormap
+from cyclegan_tpu.data.transforms import eval_transform
+from cyclegan_tpu.export import load_artifact
+from cyclegan_tpu.train import metrics as metrics_lib
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def _list_images(directory: str) -> list[str]:
+    names = sorted(n for n in os.listdir(directory)
+                   if n.lower().endswith(IMG_EXTS))
+    if not names:
+        raise FileNotFoundError(f"no images ({'/'.join(IMG_EXTS)}) "
+                                f"in {directory}")
+    return names
+
+
+def _load_image(path: str, hw: tuple[int, int], in_channels: int,
+                eval_resize: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("L" if in_channels == 1 else "RGB")
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    img, _ = eval_transform(arr, None, crop_hw=hw, mode=eval_resize)
+    return img
+
+
+def _load_mask(path: str, hw: tuple[int, int], num_classes: int,
+               eval_resize: str) -> np.ndarray:
+    """GT mask -> (H, W) int class indices. P-mode and grayscale PNGs carry
+    indices directly; RGB-encoded masks go through the palette codec."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.ndim == 3:
+        arr = encode_colormap(arr, num_classes)
+    _, lab = eval_transform(np.zeros(arr.shape[:2] + (1,), np.uint8),
+                            arr.astype(np.int32), crop_hw=hw,
+                            mode=eval_resize)
+    return lab
+
+
+def _chunks(seq: list, n: int) -> Iterable[list]:
+    for i in range(0, len(seq), n):
+        yield seq[i:i + n]
+
+
+def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
+              batch_size: int = 8, gt_dir: str | None = None,
+              eval_resize: str = "resize") -> dict:
+    """Run the segment head of an exported artifact over ``input_dir``.
+
+    Writes ``<stem>_pred.png`` (VOC-palette colorized) per input image into
+    ``output_dir``; when ``gt_dir`` holds same-stem masks, accumulates the
+    confusion matrix and writes ``scores.json``. Returns the summary dict.
+    """
+    from PIL import Image
+
+    exported = load_artifact(artifact_path)
+    manifest = {}
+    if os.path.exists(artifact_path + ".json"):
+        with open(artifact_path + ".json") as f:
+            manifest = json.load(f)
+    head = manifest.get("head", "segment")
+    if head != "segment":
+        raise ValueError(
+            f"artifact head is {head!r}; --serve drives the image->label "
+            f"segment head (the generate head consumes label maps — call "
+            f"load_artifact() directly for custom drivers)")
+    in_shape = exported.in_avals[0].shape  # (b|B, H, W, C), b symbolic
+    h, w, c = int(in_shape[1]), int(in_shape[2]), int(in_shape[3])
+    num_classes = int(manifest.get("num_classes", 21))
+
+    names = _list_images(input_dir)
+    call = jax.jit(exported.call)
+    os.makedirs(output_dir, exist_ok=True)
+    hist = None
+    scored = 0
+    for chunk in _chunks(names, max(batch_size, 1)):
+        batch = np.stack([
+            _load_image(os.path.join(input_dir, n), (h, w), c, eval_resize)
+            for n in chunk])
+        pred = np.asarray(jax.device_get(call(batch)))
+        for name, p in zip(chunk, pred):
+            stem = os.path.splitext(name)[0]
+            Image.fromarray(decode_colormap(p.astype(np.uint8))).save(
+                os.path.join(output_dir, f"{stem}_pred.png"))
+            if gt_dir is None:
+                continue
+            mask_path = os.path.join(gt_dir, stem + ".png")
+            if not os.path.exists(mask_path):
+                continue
+            lab = _load_mask(mask_path, (h, w), num_classes, eval_resize)
+            hh = np.asarray(metrics_lib.confusion_matrix(
+                p, lab, num_classes))
+            hist = hh if hist is None else hist + hh
+            scored += 1
+
+    out = {"images": len(names), "scored": scored,
+           "output_dir": os.path.abspath(output_dir)}
+    if hist is not None:
+        s = metrics_lib.scores(hist)
+        out.update({k: float(v) for k, v in s.items() if np.ndim(v) == 0})
+        with open(os.path.join(output_dir, "scores.json"), "w") as f:
+            json.dump({k: v for k, v in out.items() if k != "output_dir"},
+                      f, indent=2, sort_keys=True)
+    print(f"served {len(names)} images -> {output_dir}"
+          + (f"; scores over {scored}: "
+             + json.dumps({k: round(v, 4) for k, v in out.items()
+                           if isinstance(v, float)})
+             if scored else ""), flush=True)
+    return out

@@ -1,0 +1,119 @@
+"""Standalone artifact serving (cyclegan_tpu/serve.py): .shlo + image dir ->
+colorized predictions + optional scores, with NO checkpoint or trainer.
+
+Proof obligations: predictions bit-match the live jitted predictor fed the
+same eval transform; GT masks produce a scores.json with the metric family;
+the CLI --serve mode drives the whole path; a non-segment artifact is
+rejected with an actionable error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from cyclegan_tpu import export as export_lib
+from cyclegan_tpu import serve as serve_lib
+from cyclegan_tpu.main import main as cli_main
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+from cyclegan_tpu.utils.config import Config
+
+H, W = 24, 24
+NUM_CLASSES, IN_CH = 21, 3
+N_IMAGES = 5
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg = Config(dataset="synthetic", gen_net="resnet_6blocks", ngf=4, ndf=4,
+                 bf16=False, crop_height=H, crop_width=W, batch_size=2,
+                 pool_size=2, num_devices=1)
+    trainer = CycleGANTrainer(cfg, NUM_CLASSES, IN_CH, steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    exported = export_lib.export_predictor(
+        trainer.predict, state.g_i2l, height=H, width=W, in_channels=IN_CH,
+        platforms=("cpu",))
+    path = str(tmp / "model.shlo")
+    export_lib.save_artifact(path, exported, manifest={
+        "head": "segment", "num_classes": NUM_CLASSES})
+    return path, trainer, state
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for i in range(N_IMAGES):
+        # Off-size sources: the serve path must squash-resize to the
+        # artifact's (H, W).
+        arr = rng.integers(0, 256, (30, 40, 3), np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i:02d}.png")
+    return str(d)
+
+
+def test_serve_matches_live_predictor(artifact, image_dir, tmp_path):
+    path, trainer, state = artifact
+    out = str(tmp_path / "preds")
+    res = serve_lib.run_serve(path, image_dir, out, batch_size=2)
+    assert res["images"] == N_IMAGES
+    names = sorted(os.listdir(out))
+    assert names == [f"img_{i:02d}_pred.png" for i in range(N_IMAGES)]
+
+    # Bit-parity with the live predictor on the same eval transform.
+    batch = np.stack([
+        serve_lib._load_image(os.path.join(image_dir, f"img_{i:02d}.png"),
+                              (H, W), IN_CH, "resize")
+        for i in range(N_IMAGES)])
+    expect = np.asarray(jax.jit(trainer.predict)(state.g_i2l, batch))
+    from cyclegan_tpu.data.palette import decode_colormap
+    for i in range(N_IMAGES):
+        got = np.asarray(Image.open(
+            os.path.join(out, f"img_{i:02d}_pred.png")))
+        np.testing.assert_array_equal(
+            got, decode_colormap(expect[i].astype(np.uint8)))
+
+
+def test_serve_scores_against_masks(artifact, image_dir, tmp_path):
+    path, trainer, state = artifact
+    gt = tmp_path / "gt"
+    gt.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(N_IMAGES - 1):  # one image deliberately unscored
+        mask = rng.integers(0, NUM_CLASSES, (30, 40), np.uint8)
+        mask[0, :] = 255  # void border must be ignored, not crash
+        Image.fromarray(mask, mode="L").save(gt / f"img_{i:02d}.png")
+    out = str(tmp_path / "preds")
+    res = serve_lib.run_serve(path, image_dir, out, batch_size=3,
+                              gt_dir=str(gt))
+    assert res["scored"] == N_IMAGES - 1
+    for k in ("miou", "pixel_acc", "mean_acc", "fwiou"):
+        assert 0.0 <= res[k] <= 1.0
+    with open(os.path.join(out, "scores.json")) as f:
+        assert json.load(f)["scored"] == N_IMAGES - 1
+
+
+def test_serve_cli(artifact, image_dir, tmp_path):
+    path, _, _ = artifact
+    out = str(tmp_path / "cli_out")
+    cli_main(["--serve", path, "--serve_input", image_dir,
+              "--serve_output", out, "--serve_batch", "4",
+              "--platform", "cpu"])
+    assert len(os.listdir(out)) == N_IMAGES
+
+
+def test_serve_rejects_generate_head(artifact, image_dir, tmp_path):
+    path, trainer, state = artifact
+    spec = jax.ShapeDtypeStruct((2, H, W), jnp.int32)
+    exported = export_lib.export_closed(trainer.generate_image, state.g_l2i,
+                                        spec, platforms=("cpu",))
+    gen_path = str(tmp_path / "gen.shlo")
+    export_lib.save_artifact(gen_path, exported, manifest={"head": "generate"})
+    with pytest.raises(ValueError, match="generate"):
+        serve_lib.run_serve(gen_path, image_dir, str(tmp_path / "x"))
