@@ -34,12 +34,20 @@ def _mask_empty(tree: Any) -> Any:
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, *, max_to_keep: int = 2):
+    def __init__(self, directory: str, *, max_to_keep: int = 2,
+                 async_save: bool = True):
+        """``async_save=False`` commits synchronously inside ``save()``.
+        Use it for preemption (mid-epoch) checkpoints: they exist to be
+        durable before the process dies, and the last one is written
+        moments before exit — an async commit thread racing interpreter
+        shutdown loses ("cannot schedule new futures after shutdown",
+        seen in the 2-process preempt test's worker 0)."""
         self._dir = os.path.abspath(directory)
         self._mngr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True),
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save),
         )
 
     def save(self, epoch: int, state: Any) -> None:

@@ -136,13 +136,20 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
     # are dropped, like drop_last batching.
     spc = max(int(getattr(cfg, "steps_per_call", 1) or 1), 1)
     step_jit = jit_step(select_step(trainer, spc))
-    eval_jit = jax.jit(trainer.eval_step)
+    eval_jit, _ = _make_eval_fns(cfg, trainer)
     # Only the primary process writes logs/traces (shared-filesystem safety);
     # every process participates in compute and checkpoint restore.
     logger = MetricsLogger(cfg.results_dir if primary else None)
     profiler = StepProfiler(cfg.profile_dir if primary else None)
 
-    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    # Multi-process runs commit epoch checkpoints synchronously: Orbax's
+    # cross-process async commit thread can outlive wait()/close() and race
+    # interpreter shutdown when a worker exits right after its last save
+    # (observed as "cannot schedule new futures after shutdown" in the
+    # 2-process tests). Once-per-epoch, so the overlap loss is negligible;
+    # single-process keeps the async overlap.
+    ckpt = CheckpointManager(cfg.checkpoint_dir,
+                             async_save=jax.process_count() == 1)
     start_epoch = 0
     restored = ckpt.restore(state)
     if restored is not None:
@@ -175,8 +182,10 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
                 "spc": np.asarray(spc, np.int64)}
 
     if mid_every:
+        # Synchronous saves: a preemption checkpoint's job is to be durable
+        # before the process exits — see CheckpointManager.async_save.
         mid_ckpt = CheckpointManager(os.path.join(cfg.checkpoint_dir, "mid"),
-                                     max_to_keep=1)
+                                     max_to_keep=1, async_save=False)
         mres = mid_ckpt.restore(_wrap(state, 0, 0, 0))
         # A mid-checkpoint older than the last epoch save is stale: the
         # epoch it belongs to completed, so the per-epoch restore wins.
