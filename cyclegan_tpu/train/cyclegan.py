@@ -312,14 +312,17 @@ class CycleGANTrainer:
         state, ms = jax.lax.scan(self.train_step, state, batches)
         return state, jax.tree.map(lambda x: x[-1], ms)
 
+    def logits(self, g_i2l_params: Any, image: jax.Array) -> jax.Array:
+        """Raw class logits of the i2l generator (tiled eval hooks here)."""
+        return self.G_i2l.apply(g_i2l_params, image)
+
     def eval_step(self, g_i2l_params: Any, batch: dict) -> jax.Array:
-        logits = self.G_i2l.apply(g_i2l_params, batch["image"])
-        pred = jnp.argmax(logits, axis=-1)
+        pred = jnp.argmax(self.logits(g_i2l_params, batch["image"]), axis=-1)
         return metrics.confusion_matrix(
             pred, batch["label"], self.num_classes, ignore_index=self.ignore_index)
 
     def predict(self, g_i2l_params: Any, image: jax.Array) -> jax.Array:
-        return jnp.argmax(self.G_i2l.apply(g_i2l_params, image), axis=-1)
+        return jnp.argmax(self.logits(g_i2l_params, image), axis=-1)
 
     def generate_image(self, g_l2i_params: Any, labels: jax.Array) -> jax.Array:
         """label map -> synthesized image (sample-dump path, SURVEY.md §3a)."""

@@ -60,6 +60,48 @@ def _effective_steps_per_epoch(cfg: Config, steps_per_epoch: int) -> int:
     return (steps_per_epoch // spc) * spc
 
 
+def _eval_shaping(cfg: Config) -> tuple[tuple[int, int], str]:
+    """(target_hw, loader eval_mode) for val/test loaders.
+
+    ``--eval_resize tile`` evaluates on a fixed larger canvas
+    (``--resize_height/--resize_width``) tiled by crop-size windows
+    (cyclegan_tpu.eval_tile); the loader then squash-resizes to the canvas
+    and the tiling happens inside the jitted eval."""
+    if cfg.eval_resize != "tile":
+        return cfg.crop_hw, cfg.eval_resize
+    if not (cfg.resize_height and cfg.resize_width):
+        raise ValueError(
+            "--eval_resize tile needs --resize_height/--resize_width "
+            "(the fixed canvas the val images are scored at)")
+    if (cfg.resize_height < cfg.crop_height
+            or cfg.resize_width < cfg.crop_width):
+        raise ValueError(
+            f"tile canvas {cfg.resize_height}x{cfg.resize_width} is smaller "
+            f"than the window {cfg.crop_height}x{cfg.crop_width}")
+    if cfg.resize_height % 4 or cfg.resize_width % 4:
+        # The l2i sample-dump generator runs on the full canvas; the
+        # generators' down/up-sampling pair only round-trips shapes that
+        # divide by 4.
+        raise ValueError(
+            f"tile canvas {cfg.resize_height}x{cfg.resize_width} must be "
+            f"divisible by 4")
+    return (cfg.resize_height, cfg.resize_width), "resize"
+
+
+def _make_eval_fns(cfg: Config, trainer):
+    """(eval_step_jit, predict_jit) honoring ``--eval_resize tile``."""
+    if cfg.eval_resize == "tile":
+        from cyclegan_tpu import eval_tile
+
+        return (
+            jax.jit(lambda params, batch: eval_tile.tiled_eval_step(
+                trainer, params, batch, cfg.crop_hw)),
+            jax.jit(lambda params, image: eval_tile.tiled_predict(
+                trainer, params, image, cfg.crop_hw)),
+        )
+    return jax.jit(trainer.eval_step), jax.jit(trainer.predict)
+
+
 def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
                  drop_last: bool = True):
     """Loader factory: native (thread prefetch + C++ pixel kernels) or grain
@@ -73,9 +115,11 @@ def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
     if train and cfg.resize_height is not None:
         resize_hw = (cfg.resize_height,
                      cfg.resize_width or cfg.resize_height)
-    kw = dict(batch_size=cfg.batch_size, crop_hw=cfg.crop_hw, train=train,
+    target_hw, eval_mode = (cfg.crop_hw, cfg.eval_resize) if train \
+        else _eval_shaping(cfg)
+    kw = dict(batch_size=cfg.batch_size, crop_hw=target_hw, train=train,
               seed=seed, drop_last=drop_last, process_shard=shard,
-              resize_hw=resize_hw, eval_mode=cfg.eval_resize)
+              resize_hw=resize_hw, eval_mode=eval_mode)
     if cfg.loader == "grain":
         from cyclegan_tpu.data.grain_loader import GrainLoader
 
@@ -433,7 +477,8 @@ def _dump_samples(cfg: Config, trainer: CycleGANTrainer, state, val_loader: Load
     finally:
         it.close()
     imgs = batch["image"][:n]
-    pred = np.asarray(trainer.predict(state.g_i2l, imgs))
+    _, predict = _make_eval_fns(cfg, trainer)
+    pred = np.asarray(predict(state.g_i2l, imgs))
 
     def to_u8(x):  # [-1,1] float -> uint8 RGB/gray
         u = np.clip((np.asarray(x) + 1.0) * 127.5, 0, 255).astype(np.uint8)
@@ -461,12 +506,11 @@ def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
     trainer, state, num_classes, in_ch = checkpoint_lib.restore_for_inference(
         cfg, semisupervised=semisupervised)
     val_ds = make_dataset(cfg.dataset, cfg.data_root, split="val")
-    val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=cfg.crop_hw,
-                        train=False, drop_last=False,
-                        eval_mode=cfg.eval_resize)
+    target_hw, eval_mode = _eval_shaping(cfg)
+    val_loader = Loader(val_ds, batch_size=cfg.batch_size, crop_hw=target_hw,
+                        train=False, drop_last=False, eval_mode=eval_mode)
     params = state.g_i2l if semisupervised else state.params
-    eval_jit = jax.jit(trainer.eval_step)
-    predict_jit = jax.jit(trainer.predict)
+    eval_jit, predict_jit = _make_eval_fns(cfg, trainer)
 
     os.makedirs(cfg.results_dir, exist_ok=True)
     from PIL import Image

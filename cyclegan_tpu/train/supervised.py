@@ -104,13 +104,16 @@ class SupervisedTrainer:
         state, ms = jax.lax.scan(self.train_step, state, batches)
         return state, jax.tree.map(lambda x: x[-1], ms)
 
+    def logits(self, params: Any, image: jax.Array) -> jax.Array:
+        """Raw class logits (the segmentation head; tiled eval hooks here)."""
+        return self.model.apply(params, image)
+
     def eval_step(self, params: Any, batch: dict) -> jax.Array:
         """Confusion-matrix contribution of one batch; jit me."""
-        logits = self.model.apply(params, batch["image"])
-        pred = jnp.argmax(logits, axis=-1)
+        pred = jnp.argmax(self.logits(params, batch["image"]), axis=-1)
         return metrics.confusion_matrix(
             pred, batch["label"], self.num_classes,
             ignore_index=self.ignore_index)
 
     def predict(self, params: Any, image: jax.Array) -> jax.Array:
-        return jnp.argmax(self.model.apply(params, image), axis=-1)
+        return jnp.argmax(self.logits(params, image), axis=-1)

@@ -58,7 +58,11 @@ class Config:
     # Val/test-image shaping convention — an UNVERIFIED reference assumption
     # (docs/PARITY.md "eval resolution"): "resize" = squash to crop_hw
     # (default, what the parity oracle uses too); "center_crop" =
-    # torchvision Resize+CenterCrop semantics (escape hatch).
+    # torchvision Resize+CenterCrop semantics (escape hatch); "tile" =
+    # sliding-window eval on a fixed (resize_height, resize_width) canvas
+    # with 50%-overlap crop-size windows and logit averaging
+    # (cyclegan_tpu.eval_tile — beyond the reference, for scoring
+    # high-resolution corpora with a crop-trained net).
     eval_resize: str = "resize"
     dataset_size: int | None = None   # subset (e.g. 100-image VOC config 1)
 

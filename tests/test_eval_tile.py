@@ -1,0 +1,121 @@
+"""Tiled (sliding-window) high-resolution eval (cyclegan_tpu/eval_tile.py,
+CLI --eval_resize tile).
+
+Proof obligations: the window grid covers the canvas exactly (last window
+pinned); overlap-averaging is mechanically correct (for a pointwise model,
+tiled == direct on the canvas); at canvas == window it degenerates to the
+plain eval path bit-for-bit; the full --testing path scores and dumps PNGs
+at canvas resolution; misconfiguration fails with actionable errors.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cyclegan_tpu import eval_tile
+from cyclegan_tpu.train.checkpoint import CheckpointManager
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+from cyclegan_tpu.train.runner import _eval_shaping, run_test
+from cyclegan_tpu.utils.config import Config
+
+
+def test_window_positions_cover_and_pin():
+    assert eval_tile.window_positions(64, 32, 16) == [0, 16, 32]
+    # Non-divisible: last window pinned to size - win.
+    assert eval_tile.window_positions(70, 32, 16) == [0, 16, 32, 38]
+    # Canvas smaller or equal to the window: single window at 0.
+    assert eval_tile.window_positions(32, 32, 16) == [0]
+    assert eval_tile.window_positions(20, 32, 16) == [0]
+
+
+def test_overlap_average_is_exact_for_pointwise_model():
+    """A pointwise 'model' gives every window the same per-pixel logits, so
+    overlap-averaging must reproduce the direct canvas application exactly
+    — isolates the gather/scatter/normalize mechanics."""
+    def logits_fn(params, x):
+        return jnp.concatenate([params * x, -x], axis=-1)
+
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (2, 70, 52, 3), minval=-1, maxval=1)
+    got = eval_tile.tiled_logits(logits_fn, 2.0, images, (32, 32))
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(logits_fn(2.0, images)),
+                               rtol=0, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def trainer_state():
+    cfg = Config(dataset="synthetic", gen_net="resnet_6blocks", ngf=4, ndf=4,
+                 bf16=False, crop_height=24, crop_width=24, batch_size=2,
+                 pool_size=2, num_devices=1)
+    # synthetic DATASET_SPECS num_classes (run_test rebuilds from it)
+    trainer = CycleGANTrainer(cfg, num_classes=21, in_channels=3,
+                              steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    return cfg, trainer, state
+
+
+def test_canvas_equals_window_matches_plain_eval(trainer_state):
+    _, trainer, state = trainer_state
+    rng = jax.random.PRNGKey(1)
+    batch = {
+        "image": jax.random.uniform(rng, (2, 24, 24, 3), minval=-1, maxval=1),
+        "label": jax.random.randint(rng, (2, 24, 24), 0, 21),
+    }
+    plain = np.asarray(trainer.eval_step(state.g_i2l, batch))
+    tiled = np.asarray(eval_tile.tiled_eval_step(
+        trainer, state.g_i2l, batch, (24, 24)))
+    np.testing.assert_array_equal(plain, tiled)
+
+
+def test_tiled_predict_shapes_and_jit(trainer_state):
+    _, trainer, state = trainer_state
+    rng = jax.random.PRNGKey(2)
+    canvas = jax.random.uniform(rng, (1, 48, 36, 3), minval=-1, maxval=1)
+    pred = jax.jit(lambda p, x: eval_tile.tiled_predict(
+        trainer, p, x, (24, 24)))(state.g_i2l, canvas)
+    assert pred.shape == (1, 48, 36)
+    assert 0 <= int(jnp.min(pred)) and int(jnp.max(pred)) < 21
+
+
+def test_eval_shaping_validation():
+    base = Config(crop_height=24, crop_width=24, eval_resize="tile")
+    with pytest.raises(ValueError, match="resize_height"):
+        _eval_shaping(base)
+    with pytest.raises(ValueError, match="smaller"):
+        _eval_shaping(base.replace(resize_height=20, resize_width=48))
+    with pytest.raises(ValueError, match="divisible by 4"):
+        _eval_shaping(base.replace(resize_height=50, resize_width=48))
+    hw, mode = _eval_shaping(base.replace(resize_height=48, resize_width=36))
+    assert hw == (48, 36) and mode == "resize"
+    # Non-tile modes pass straight through.
+    hw, mode = _eval_shaping(Config(crop_height=24, crop_width=24,
+                                    eval_resize="center_crop"))
+    assert hw == (24, 24) and mode == "center_crop"
+
+
+def test_run_test_tile_mode_end_to_end(trainer_state, tmp_path):
+    """--testing with --eval_resize tile: scores computed and PNGs dumped at
+    CANVAS resolution from a crop-trained checkpoint."""
+    cfg, trainer, state = trainer_state
+    cfg = cfg.replace(eval_resize="tile", resize_height=48, resize_width=36,
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      results_dir=str(tmp_path / "out"))
+    mngr = CheckpointManager(cfg.checkpoint_dir)
+    mngr.save(0, jax.device_get(state))
+    mngr.wait()
+    mngr.close()
+    scores = run_test(cfg, semisupervised=True)
+    for k in ("miou", "pixel_acc"):
+        assert 0.0 <= scores[k] <= 1.0
+    from PIL import Image
+    preds = sorted(p for p in os.listdir(cfg.results_dir)
+                   if p.startswith("pred_"))
+    assert preds
+    with Image.open(os.path.join(cfg.results_dir, preds[0])) as im:
+        assert im.size == (36, 48)  # PIL size is (W, H)
