@@ -223,21 +223,42 @@ def measure_jax_inference(size: int, batch: int, steps: int, warmup: int, *,
     return steps * batch / (time.perf_counter() - t0)
 
 
-def _resolve_platform(retries: int = 10, wait_s: int = 60) -> str:
+def _probe_tpu(timeout_s: int = 180) -> bool:
+    """Probe the tunnel in a SUBPROCESS with a hard timeout. The axon
+    tunnel has two failure modes: fast RuntimeError ("Backend 'axon' is
+    not in the list of known backends") and a silent HANG inside
+    jax.devices() (observed 40+ min with ~0 CPU) — only a bounded
+    subprocess survives the second."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and "cpu" not in r.stdout.strip().lower()
+
+
+def _resolve_platform(retries: int = 5, wait_s: int = 60) -> str:
     """TPU if the axon tunnel registers, else CPU. The tunnel flaps with
-    multi-minute outages; retry for ~10 min before giving up — a CPU
-    fallback records a meaningless number if this is the round's official
-    bench run, so patience is cheap."""
+    multi-minute outages; retry before giving up — a CPU fallback records
+    a meaningless number if this is the round's official bench run, so
+    patience is cheap. Each attempt is a bounded subprocess probe followed
+    by the in-process registration only once a probe succeeds."""
     import time as _time
 
     import jax
 
     for attempt in range(retries):
-        try:
-            return jax.devices()[0].platform
-        except RuntimeError:
-            if attempt == retries - 1:
-                break
+        if _probe_tpu():
+            try:
+                return jax.devices()[0].platform
+            except RuntimeError:
+                pass  # flapped between probe and registration
+        if attempt < retries - 1:
             _time.sleep(wait_s)
     jax.config.update("jax_platforms", "cpu")
     return "cpu-fallback"
