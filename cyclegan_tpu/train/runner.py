@@ -11,6 +11,7 @@ step late to avoid a device sync on the hot path).
 from __future__ import annotations
 
 import itertools
+import json
 import os
 import signal
 import threading
@@ -246,6 +247,22 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
             start_epoch, skip_calls = int(w["epoch"]), int(w["pos"])
             print(f"resumed mid-epoch {start_epoch} at call {skip_calls}",
                   flush=True)
+    # Best-val-mIoU checkpoint (cfg.keep_best; beyond the reference's
+    # keep-latest): saved under <checkpoint_dir>/best whenever validation
+    # improves on the best seen so far; the score itself persists in
+    # best/metric.json so a resumed run can't overwrite a better epoch.
+    best_ckpt = None
+    best_miou = -1.0
+    # Lives NEXT TO the best/ dir, not inside it (Orbax owns that listing).
+    best_metric_path = os.path.join(cfg.checkpoint_dir, "best_metric.json")
+    if getattr(cfg, "keep_best", False):
+        best_ckpt = CheckpointManager(
+            os.path.join(cfg.checkpoint_dir, "best"), max_to_keep=1,
+            async_save=jax.process_count() == 1)
+        if os.path.exists(best_metric_path):
+            with open(best_metric_path) as f:
+                best_miou = float(json.load(f).get("miou", -1.0))
+
     # Global-step base for mid-checkpoint ids: monotonic across resumes
     # (Orbax requires increasing step ids; the host-local step counter
     # resets every launch but state.step does not).
@@ -371,6 +388,18 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
                                    mesh)
                 if primary:
                     print(f"[epoch {epoch}] val {result}", flush=True)
+                if (best_ckpt is not None
+                        and result.get("miou", -1.0) > best_miou):
+                    # Every process agrees on `result` (the eval hist is a
+                    # replicated jit output) and every process must call
+                    # save — Orbax coordinates, the primary writes.
+                    best_miou = float(result["miou"])
+                    best_ckpt.save(epoch, jax.device_get(state))
+                    if primary:
+                        with open(best_metric_path, "w") as f:
+                            json.dump({"miou": best_miou, "epoch": epoch}, f)
+                        print(f"[epoch {epoch}] new best miou "
+                              f"{best_miou:.4f} -> best/", flush=True)
                 if on_validate is not None and primary:
                     on_validate(state, epoch)
             # All processes call save: Orbax's multiprocess coordination expects
@@ -393,6 +422,9 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
         if mid_ckpt is not None:
             mid_ckpt.wait()
             mid_ckpt.close()
+        if best_ckpt is not None:
+            best_ckpt.wait()
+            best_ckpt.close()
     if preempted:
         result = dict(result, preempted=True)
     return result

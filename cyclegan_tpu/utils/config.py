@@ -84,6 +84,11 @@ class Config:
     # io
     checkpoint_dir: str = "./checkpoints"
     results_dir: str = "./results"
+    # Keep the best-val-mIoU checkpoint under <checkpoint_dir>/best (beyond
+    # the reference, which only keeps the latest): point --testing/--export
+    # at it with --checkpoint_dir <dir>/best. The best score survives
+    # restarts via <checkpoint_dir>/best_metric.json.
+    keep_best: bool = False
     validation_every: int = 1          # epochs
     log_every: int = 20                # steps
     # Preemption-safe mid-epoch checkpointing (beyond the reference's

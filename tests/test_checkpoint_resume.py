@@ -88,6 +88,44 @@ def test_empty_pool_checkpoint_roundtrip(tmp_path):
         np.asarray(state.g_i2l["params"]["ConvBlock_0"]["kernel"]))
 
 
+def test_keep_best_tracks_max_miou_across_restarts(tmp_path, monkeypatch):
+    """--keep_best: the best-val-mIoU epoch is kept under <ckpt>/best and a
+    resumed run cannot overwrite it with a worse epoch (the score persists
+    in best_metric.json)."""
+    import json
+    import os
+
+    from cyclegan_tpu.train import runner
+
+    scripted = iter([0.3, 0.5, 0.4])
+    monkeypatch.setattr(runner, "_evaluate",
+                        lambda *a, **k: {"miou": next(scripted)})
+    cfg = Config(dataset="synthetic", dataset_size=8, labeled_fraction=0.5,
+                 gen_net="resnet_6blocks", ngf=4, ndf=4, bf16=False,
+                 crop_height=24, crop_width=24, batch_size=2, pool_size=2,
+                 num_devices=1, epochs=3, decay_epoch=2, validation_every=1,
+                 log_every=10, keep_best=True,
+                 checkpoint_dir=str(tmp_path / "ckpt"),
+                 results_dir=str(tmp_path / "out"))
+    runner.run_cyclegan(cfg)
+    metric_path = os.path.join(cfg.checkpoint_dir, "best_metric.json")
+    with open(metric_path) as f:
+        meta = json.load(f)
+    assert meta == {"miou": 0.5, "epoch": 1}
+    best = CheckpointManager(os.path.join(cfg.checkpoint_dir, "best"))
+    assert best.latest_epoch() == 1
+    best.close()
+
+    # Restart with one more (worse) epoch: best must survive.
+    scripted = iter([0.2])
+    runner.run_cyclegan(cfg.replace(epochs=4, decay_epoch=3))
+    with open(metric_path) as f:
+        assert json.load(f) == {"miou": 0.5, "epoch": 1}
+    best = CheckpointManager(os.path.join(cfg.checkpoint_dir, "best"))
+    assert best.latest_epoch() == 1
+    best.close()
+
+
 def test_mid_wrapper_dict_reconciles_pool_shapes(tmp_path):
     """The mid-epoch wrapper ({"state": st, "epoch": ...} —
     runner._train_loop) must get the same stored-shape pool reconcile as a
