@@ -66,6 +66,37 @@ def _initialized() -> bool:
     return getattr(state, "client", None) is not None
 
 
+_BARRIER_COUNTS: dict[str, int] = {}
+
+
+def phase_barrier(name: str, timeout_s: int = 1200) -> None:
+    """Align all processes at a phase boundary via the coordination service
+    (pure gRPC — NOT a device collective).
+
+    Why: on CPU rigs the gloo backend brings up a fresh communicator
+    context at the FIRST collective of each newly compiled program, with a
+    hard ~30 s peer rendezvous deadline baked into XLA ("Gloo context
+    initialization failed: DEADLINE_EXCEEDED: GetKeyValue() timed out").
+    Any cross-process skew above that — a compile-cache miss, an Orbax
+    restore, loader IO — kills the run. A barrier immediately before
+    dispatching a new program makes every process start the context
+    bring-up together, so only the (lockstep) execution remains inside
+    gloo's deadline. On TPU pods (PJRT/ICI) this is a cheap no-harm RPC.
+
+    Coordination-service barrier ids are single-use; a per-name counter
+    keeps ids unique while staying deterministic across processes (all
+    processes reach the same call sites in the same order).
+    """
+    if jax.process_count() <= 1:
+        return
+    client = getattr(jax._src.distributed.global_state, "client", None)
+    if client is None:
+        return
+    n = _BARRIER_COUNTS.get(name, 0)
+    _BARRIER_COUNTS[name] = n + 1
+    client.wait_at_barrier(f"cgtpu_{name}_{n}", timeout_in_ms=timeout_s * 1000)
+
+
 def process_info() -> tuple[int, int]:
     """(process_index, process_count) — (0, 1) in single-process runs."""
     return jax.process_index(), jax.process_count()

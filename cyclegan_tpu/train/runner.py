@@ -133,6 +133,10 @@ def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
 def _evaluate(trainer, params, val_loader: Loader, eval_jit, mesh=None) -> dict:
     """Accumulate the confusion matrix over the val split (sharded over the
     mesh when given — eval rides the same DP layout as training)."""
+    # Multi-process: align before dispatching the eval program — its first
+    # collective brings up a fresh gloo context on CPU rigs, and that
+    # bring-up has a hard ~30 s peer deadline (distributed.phase_barrier).
+    distributed.phase_barrier("eval")
     hist = None
     warned = False
     for batch in val_loader.epoch(0):
@@ -338,6 +342,10 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
             logger.log(metrics=jax.device_get(dev_m), **kw)
             pending = None
 
+    # Multi-process: checkpoint restores (epoch + mid) above can skew the
+    # processes by minutes; re-align before the first train-step dispatch
+    # (see distributed.phase_barrier).
+    distributed.phase_barrier("train_start")
     preempted = False
     try:
         for epoch in range(start_epoch, cfg.epochs):
