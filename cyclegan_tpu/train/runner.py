@@ -89,18 +89,56 @@ def _eval_shaping(cfg: Config) -> tuple[tuple[int, int], str]:
     return (cfg.resize_height, cfg.resize_width), "resize"
 
 
+def _aligned_jit(fn_jit, barrier_name: str):
+    """Multi-process-safe first dispatch for a jitted collective program.
+
+    Gloo (CPU rigs) brings up a fresh communicator context at the first
+    collective of each compiled program, with a hard ~30 s peer rendezvous
+    deadline. The skew that breaks it is COMPILATION: one process can hit
+    the persistent cache in seconds while another rejects a foreign-VM AOT
+    blob and recompiles for minutes, so a barrier before the first *call*
+    is not enough — compile happens inside the call. On first use this
+    wrapper AOT-compiles (``.lower().compile()``, no execution, no
+    collectives), THEN aligns all processes (phase_barrier), and executes
+    + reuses the compiled program — context bring-up starts simultaneously
+    everywhere. Single-process: the plain jit, untouched.
+
+    Only wrap programs that EVERY process calls (a primary-only caller
+    would hang the barrier); fixed input shapes/shardings assumed (true
+    for the train/eval programs).
+    """
+    cell = {"fn": None}
+
+    def call(*args):
+        if cell["fn"] is None:
+            if jax.process_count() > 1:
+                compiled = fn_jit.lower(*args).compile()
+                distributed.phase_barrier(barrier_name)
+                cell["fn"] = compiled
+            else:
+                cell["fn"] = fn_jit
+        return cell["fn"](*args)
+
+    return call
+
+
 def _make_eval_fns(cfg: Config, trainer):
-    """(eval_step_jit, predict_jit) honoring ``--eval_resize tile``."""
+    """(eval_step_jit, predict_jit) honoring ``--eval_resize tile``.
+
+    The eval program (called by every process) goes through _aligned_jit;
+    predict stays a plain jit — it is primary-only in sample dumps, and a
+    barrier inside it would hang."""
     if cfg.eval_resize == "tile":
         from cyclegan_tpu import eval_tile
 
-        return (
-            jax.jit(lambda params, batch: eval_tile.tiled_eval_step(
-                trainer, params, batch, cfg.crop_hw)),
-            jax.jit(lambda params, image: eval_tile.tiled_predict(
-                trainer, params, image, cfg.crop_hw)),
-        )
-    return jax.jit(trainer.eval_step), jax.jit(trainer.predict)
+        eval_fn = jax.jit(lambda params, batch: eval_tile.tiled_eval_step(
+            trainer, params, batch, cfg.crop_hw))
+        predict = jax.jit(lambda params, image: eval_tile.tiled_predict(
+            trainer, params, image, cfg.crop_hw))
+    else:
+        eval_fn = jax.jit(trainer.eval_step)
+        predict = jax.jit(trainer.predict)
+    return _aligned_jit(eval_fn, "eval_exec"), predict
 
 
 def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
@@ -184,7 +222,7 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
     # docs/KERNELS.md round-3). Epoch-tail batches that don't fill a stack
     # are dropped, like drop_last batching.
     spc = max(int(getattr(cfg, "steps_per_call", 1) or 1), 1)
-    step_jit = jit_step(select_step(trainer, spc))
+    step_jit = _aligned_jit(jit_step(select_step(trainer, spc)), "train_exec")
     eval_jit, _ = _make_eval_fns(cfg, trainer)
     # Only the primary process writes logs/traces (shared-filesystem safety);
     # every process participates in compute and checkpoint restore.
