@@ -223,7 +223,7 @@ def measure_jax_inference(size: int, batch: int, steps: int, warmup: int, *,
     return steps * batch / (time.perf_counter() - t0)
 
 
-def _probe_tpu(timeout_s: int = 180) -> bool:
+def _probe_tpu(timeout_s: int = 120) -> bool:
     """Probe the tunnel in a SUBPROCESS with a hard timeout. The axon
     tunnel has two failure modes: fast RuntimeError ("Backend 'axon' is
     not in the list of known backends") and a silent HANG inside
@@ -242,12 +242,14 @@ def _probe_tpu(timeout_s: int = 180) -> bool:
     return r.returncode == 0 and "cpu" not in r.stdout.strip().lower()
 
 
-def _resolve_platform(retries: int = 5, wait_s: int = 60) -> str:
+def _resolve_platform(retries: int = 8, wait_s: int = 45) -> str:
     """TPU if the axon tunnel registers, else CPU. The tunnel flaps with
-    multi-minute outages; retry before giving up — a CPU fallback records
-    a meaningless number if this is the round's official bench run, so
-    patience is cheap. Each attempt is a bounded subprocess probe followed
-    by the in-process registration only once a probe succeeds."""
+    multi-minute outages; retry ~10 min (fast-failure mode) before giving
+    up — a CPU fallback records a meaningless number if this is the
+    round's official bench run, so patience is cheap. Each attempt is a
+    bounded subprocess probe (120 s cap — the tunnel's second failure mode
+    is a silent hang) followed by the in-process registration only once a
+    probe succeeds; worst-case hang-mode wall is ~21 min."""
     import time as _time
 
     import jax

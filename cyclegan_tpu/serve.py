@@ -36,6 +36,17 @@ def _list_images(directory: str) -> list[str]:
     if not names:
         raise FileNotFoundError(f"no images ({'/'.join(IMG_EXTS)}) "
                                 f"in {directory}")
+    stems: dict[str, str] = {}
+    for n in names:
+        s = os.path.splitext(n)[0]
+        if s in stems:
+            # Outputs and GT masks are keyed by stem; a collision would
+            # silently overwrite one prediction and double-count scores.
+            raise ValueError(
+                f"duplicate image stem {s!r} in {directory} "
+                f"({stems[s]} vs {n}) — output PNGs and GT masks are "
+                f"matched by stem; rename one")
+        stems[s] = n
     return names
 
 
@@ -84,6 +95,13 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     """
     from PIL import Image
 
+    if eval_resize not in ("resize", "center_crop"):
+        # "tile" is a framework-eval mode: artifacts have a fixed
+        # crop-sized input, so there is no canvas to tile here.
+        raise ValueError(
+            f"--serve supports eval_resize resize|center_crop, got "
+            f"{eval_resize!r} (tiled eval is --testing's job; the artifact "
+            f"input is fixed at the training crop)")
     exported = load_artifact(artifact_path)
     manifest = {}
     if os.path.exists(artifact_path + ".json"):

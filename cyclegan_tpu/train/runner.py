@@ -104,20 +104,24 @@ def _aligned_jit(fn_jit, barrier_name: str):
     everywhere. Single-process: the plain jit, untouched.
 
     Only wrap programs that EVERY process calls (a primary-only caller
-    would hang the barrier); fixed input shapes/shardings assumed (true
-    for the train/eval programs).
+    would hang the barrier). Executables are cached per input-shape
+    signature — a ragged final val batch (drop_last=False) compiles its
+    own program, with its own barrier; all processes see the same batch
+    shapes in the same order, so the barrier ids stay aligned.
     """
-    cell = {"fn": None}
+    if jax.process_count() <= 1:
+        return fn_jit
+    cache: dict = {}
 
     def call(*args):
-        if cell["fn"] is None:
-            if jax.process_count() > 1:
-                compiled = fn_jit.lower(*args).compile()
-                distributed.phase_barrier(barrier_name)
-                cell["fn"] = compiled
-            else:
-                cell["fn"] = fn_jit
-        return cell["fn"](*args)
+        key = tuple((tuple(x.shape), str(x.dtype))
+                    for x in jax.tree.leaves(args))
+        fn = cache.get(key)
+        if fn is None:
+            fn = fn_jit.lower(*args).compile()
+            distributed.phase_barrier(barrier_name)
+            cache[key] = fn
+        return fn(*args)
 
     return call
 
@@ -154,7 +158,10 @@ def _make_loader(cfg: Config, ds, *, train: bool, seed: int,
     if train and cfg.resize_height is not None:
         resize_hw = (cfg.resize_height,
                      cfg.resize_width or cfg.resize_height)
-    target_hw, eval_mode = (cfg.crop_hw, cfg.eval_resize) if train \
+    # Train loaders never consume eval_mode — and must not forward "tile"
+    # (a runner-level mode the Loader rightly rejects; _eval_shaping maps
+    # it to a canvas resize for val loaders).
+    target_hw, eval_mode = (cfg.crop_hw, "resize") if train \
         else _eval_shaping(cfg)
     kw = dict(batch_size=cfg.batch_size, crop_hw=target_hw, train=train,
               seed=seed, drop_last=drop_last, process_shard=shard,
@@ -273,7 +280,18 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
         # before the process exits — see CheckpointManager.async_save.
         mid_ckpt = CheckpointManager(os.path.join(cfg.checkpoint_dir, "mid"),
                                      max_to_keep=1, async_save=False)
-        mres = mid_ckpt.restore(_wrap(state, 0, 0, 0))
+        try:
+            mres = mid_ckpt.restore(_wrap(state, 0, 0, 0))
+        except Exception:
+            # Mid checkpoints written before `spc` was recorded: restore
+            # with the legacy template and assume the writer's
+            # steps_per_call equals this run's (the only behavior the old
+            # format supported).
+            legacy = {k: v for k, v in _wrap(state, 0, 0, 0).items()
+                      if k != "spc"}
+            mres = mid_ckpt.restore(legacy)
+            if mres is not None:
+                mres[0]["spc"] = np.asarray(spc, np.int64)
         # A mid-checkpoint older than the last epoch save is stale: the
         # epoch it belongs to completed, so the per-epoch restore wins.
         if mres is not None and int(mres[0]["epoch"]) >= start_epoch:
@@ -532,14 +550,18 @@ def run_cyclegan(cfg: Config, *, max_steps: int | None = None) -> dict:
                 "unlab_image": unlab_batch["image"],
             }
 
+    # Built ONCE: a fresh jax.jit per validation epoch would retrace (and
+    # potentially recompile) the predict program every time.
+    _, predict = _make_eval_fns(cfg, trainer)
     return _train_loop(
         cfg, trainer, state, mesh, batches, lambda s: s.g_i2l, val_loader,
         max_steps=max_steps,
-        on_validate=lambda s, e: _dump_samples(cfg, trainer, s, val_loader, e))
+        on_validate=lambda s, e: _dump_samples(cfg, trainer, s, val_loader, e,
+                                               predict=predict))
 
 
 def _dump_samples(cfg: Config, trainer: CycleGANTrainer, state, val_loader: Loader,
-                  epoch: int, n: int = 4) -> None:
+                  epoch: int, n: int = 4, predict=None) -> None:
     """Sample-image dumps (SURVEY.md §3a): input image, colorized GT and
     prediction, and the label->image generator's synthesis."""
     try:
@@ -555,7 +577,8 @@ def _dump_samples(cfg: Config, trainer: CycleGANTrainer, state, val_loader: Load
     finally:
         it.close()
     imgs = batch["image"][:n]
-    _, predict = _make_eval_fns(cfg, trainer)
+    if predict is None:
+        _, predict = _make_eval_fns(cfg, trainer)
     pred = np.asarray(predict(state.g_i2l, imgs))
 
     def to_u8(x):  # [-1,1] float -> uint8 RGB/gray

@@ -99,6 +99,23 @@ def test_eval_shaping_validation():
     assert hw == (24, 24) and mode == "center_crop"
 
 
+def test_training_with_tile_validation(tmp_path):
+    """--training --eval_resize tile: TRAIN loaders must not forward the
+    runner-level 'tile' mode to the Loader (r3 review: training crashed at
+    startup); in-training validation runs tiled and returns scores."""
+    from cyclegan_tpu.train.runner import run_cyclegan
+
+    cfg = Config(dataset="synthetic", dataset_size=8, labeled_fraction=0.5,
+                 gen_net="resnet_6blocks", ngf=4, ndf=4, bf16=False,
+                 crop_height=24, crop_width=24, batch_size=2, pool_size=2,
+                 num_devices=1, epochs=1, decay_epoch=1, validation_every=1,
+                 log_every=10, eval_resize="tile", resize_height=32,
+                 resize_width=32, checkpoint_dir=str(tmp_path / "ckpt"),
+                 results_dir=str(tmp_path / "out"))
+    scores = run_cyclegan(cfg)
+    assert 0.0 <= scores["miou"] <= 1.0
+
+
 def test_run_test_tile_mode_end_to_end(trainer_state, tmp_path):
     """--testing with --eval_resize tile: scores computed and PNGs dumped at
     CANVAS resolution from a crop-trained checkpoint."""

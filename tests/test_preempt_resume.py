@@ -113,6 +113,36 @@ def test_completed_run_ignores_stale_mid_checkpoint(tmp_path, monkeypatch):
     _assert_states_equal(state, state2)
 
 
+def test_mid_resume_accepts_legacy_checkpoint_without_spc(tmp_path, monkeypatch):
+    """Mid checkpoints written before `spc` was recorded must still
+    restore (legacy fallback assumes the writer's steps_per_call equals
+    this run's) instead of dying in an Orbax structure error."""
+    monkeypatch.setenv("CYCLEGAN_TPU_PREEMPT_AT_STEP", "3")
+    cfg = _cfg(tmp_path, "legacy")
+    assert run_cyclegan(cfg).get("preempted") is True
+    monkeypatch.delenv("CYCLEGAN_TPU_PREEMPT_AT_STEP")
+
+    # Rewrite the mid checkpoint in the pre-spc wrapper format.
+    num_classes, in_ch, _ = DATASET_SPECS[cfg.dataset]
+    tr = CycleGANTrainer(cfg, num_classes, in_ch,
+                         steps_per_epoch=STEPS_PER_EPOCH)
+    tmpl = {"state": jax.device_get(tr.init_state(jax.random.PRNGKey(cfg.seed))),
+            "epoch": np.asarray(0, np.int64), "pos": np.asarray(0, np.int64),
+            "gstep": np.asarray(0, np.int64), "spc": np.asarray(1, np.int64)}
+    mngr = CheckpointManager(os.path.join(cfg.checkpoint_dir, "mid"),
+                             max_to_keep=1, async_save=False)
+    w, _ = mngr.restore(tmpl)
+    legacy = {k: v for k, v in w.items() if k != "spc"}
+    mngr.save(int(w["gstep"]) + 1, legacy)
+    mngr.wait()
+    mngr.close()
+
+    res = run_cyclegan(cfg)  # must resume via the legacy fallback
+    assert "preempted" not in res
+    _, nxt = _final_state(cfg)
+    assert nxt == cfg.epochs
+
+
 def test_mid_resume_rejects_steps_per_call_change(tmp_path, monkeypatch):
     """The mid-checkpoint position counts DEVICE CALLS; resuming with a
     different --steps_per_call would silently re-train or skip batches, so

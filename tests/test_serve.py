@@ -108,6 +108,25 @@ def test_serve_cli(artifact, image_dir, tmp_path):
     assert len(os.listdir(out)) == N_IMAGES
 
 
+def test_serve_rejects_duplicate_stems_and_tile(artifact, tmp_path):
+    """Same-stem inputs would silently overwrite predictions and
+    double-count scores (outputs/GT are stem-keyed) — reject loudly; and
+    eval_resize='tile' is a framework mode serve can't honor (fixed
+    crop-sized artifact input)."""
+    path, _, _ = artifact
+    d = tmp_path / "dup"
+    d.mkdir()
+    arr = np.zeros((8, 8, 3), np.uint8)
+    Image.fromarray(arr).save(d / "a.png")
+    Image.fromarray(arr).save(d / "a.jpg")
+    with pytest.raises(ValueError, match="duplicate image stem"):
+        serve_lib.run_serve(path, str(d), str(tmp_path / "o1"))
+    (d / "a.jpg").unlink()
+    with pytest.raises(ValueError, match="resize|center_crop"):
+        serve_lib.run_serve(path, str(d), str(tmp_path / "o2"),
+                            eval_resize="tile")
+
+
 def test_serve_rejects_generate_head(artifact, image_dir, tmp_path):
     path, trainer, state = artifact
     spec = jax.ShapeDtypeStruct((2, H, W), jnp.int32)
