@@ -89,9 +89,11 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
     """CLI entry (``python -m cyclegan_tpu.main --export out.shlo ...``):
     restore the latest checkpoint for ``cfg`` and export the requested head.
 
-    ``what``: ``segment`` (image -> int32 label map, the serving path) or
-    ``generate`` (label map -> synthesized image, the l2i GAN head;
-    semi-supervised checkpoints only).
+    ``what``: ``segment`` (image -> int32 label map, the serving path),
+    ``logits`` (image -> float class logits — for serving hosts that
+    ensemble, calibrate, threshold, or tile downstream), or ``generate``
+    (label map -> synthesized image, the l2i GAN head; semi-supervised
+    checkpoints only).
     """
     from cyclegan_tpu.train.checkpoint import restore_for_inference
 
@@ -99,10 +101,11 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
         cfg, semisupervised=semisupervised)
     h, w = cfg.crop_hw
 
-    if what == "segment":
+    if what in ("segment", "logits"):
         params = state.g_i2l if semisupervised else state.params
+        fn = trainer.predict if what == "segment" else trainer.logits
         exported = export_predictor(
-            trainer.predict, params, height=h, width=w, in_channels=in_ch,
+            fn, params, height=h, width=w, in_channels=in_ch,
             batch=batch, platforms=platforms)
     elif what == "generate":
         if not semisupervised:

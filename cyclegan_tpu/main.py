@@ -36,7 +36,7 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--export", type=str, default=None, metavar="PATH",
                    help="export the latest checkpoint as a self-contained "
                         "StableHLO serving artifact (see cyclegan_tpu.export)")
-    p.add_argument("--export_what", choices=["segment", "generate"],
+    p.add_argument("--export_what", choices=["segment", "logits", "generate"],
                    default="segment")
     p.add_argument("--export_batch", type=str, default="b",
                    help="fixed batch size (int) or a symbolic dim name for "

@@ -96,6 +96,24 @@ def test_save_load_artifact_and_manifest(tmp_path, trainer_state):
     assert "24,24" in manifest["in_avals"][0].replace(" ", "")
 
 
+def test_logits_head_matches_segment_argmax(trainer_state):
+    """--export_what logits: raw class scores for serving hosts that
+    ensemble/calibrate/tile downstream; its argmax must equal the segment
+    head bit-for-bit."""
+    _, trainer, state = trainer_state
+    exported = export_lib.export_predictor(
+        trainer.logits, state.g_i2l, height=H, width=W, in_channels=IN_CH,
+        platforms=("cpu",))
+    rt = jax.export.deserialize(exported.serialize())
+    x = _image(3)
+    logits = np.asarray(rt.call(x))
+    assert logits.shape == (3, H, W, NUM_CLASSES)
+    assert np.issubdtype(logits.dtype, np.floating)
+    np.testing.assert_array_equal(
+        np.argmax(logits, axis=-1),
+        np.asarray(jax.jit(trainer.predict)(state.g_i2l, x)))
+
+
 def test_cli_export_segment_and_generate(tmp_path):
     """The full CLI path: write a checkpoint, `--export` both heads, load
     and run each artifact."""
@@ -121,6 +139,12 @@ def test_cli_export_segment_and_generate(tmp_path):
     manifest = json.loads((tmp_path / "seg.shlo.json").read_text())
     assert manifest["num_classes"] == NUM_CLASSES
     assert manifest["trained_steps"] == 0
+
+    log_path = str(tmp_path / "logits.shlo")
+    cli_main(["--export", log_path, "--export_what", "logits"] + base)
+    lg = np.asarray(export_lib.load_artifact(log_path).call(_image(2)))
+    assert lg.shape == (2, H, W, NUM_CLASSES)
+    np.testing.assert_array_equal(np.argmax(lg, axis=-1), pred)
 
     gen_path = str(tmp_path / "gen.shlo")
     cli_main(["--export", gen_path, "--export_what", "generate",
