@@ -58,6 +58,11 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--serve_batch", type=int, default=8,
                    help="serving batch size (batch-polymorphic artifacts "
                         "compile once per distinct size)")
+    p.add_argument("--serve_canvas_height", type=int, default=None,
+                   help="tiled high-res serving: load images at this fixed "
+                        "canvas and slide the artifact's window over it "
+                        "with logit averaging (needs --export_what logits)")
+    p.add_argument("--serve_canvas_width", type=int, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu, tpu) — needed because "
                         "this environment's sitecustomize overrides JAX_PLATFORMS")
@@ -111,11 +116,21 @@ def main(argv=None) -> None:
             raise SystemExit("--serve needs --serve_input DIR")
         from cyclegan_tpu import serve as serve_lib
 
+        canvas = None
+        if args.serve_canvas_height or args.serve_canvas_width:
+            if not (args.serve_canvas_height and args.serve_canvas_width):
+                raise SystemExit("pass BOTH --serve_canvas_height and "
+                                 "--serve_canvas_width")
+            canvas = (args.serve_canvas_height, args.serve_canvas_width)
+        # A training config with eval_resize=tile maps to canvas serving;
+        # the image-load convention on the canvas is a plain resize.
+        resize = "resize" if (cfg.eval_resize == "tile" and canvas) \
+            else cfg.eval_resize
         serve_lib.run_serve(
             args.serve, args.serve_input,
             args.serve_output or cfg.results_dir,
             batch_size=args.serve_batch, gt_dir=args.serve_gt,
-            eval_resize=cfg.eval_resize)
+            eval_resize=resize, canvas_hw=canvas)
     elif args.export:
         from cyclegan_tpu import export as export_lib
 

@@ -86,47 +86,87 @@ def _chunks(seq: list, n: int) -> Iterable[list]:
 
 def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
               batch_size: int = 8, gt_dir: str | None = None,
-              eval_resize: str = "resize") -> dict:
-    """Run the segment head of an exported artifact over ``input_dir``.
+              eval_resize: str = "resize",
+              canvas_hw: tuple[int, int] | None = None) -> dict:
+    """Run the segment (or logits) head of an exported artifact over
+    ``input_dir``.
 
     Writes ``<stem>_pred.png`` (VOC-palette colorized) per input image into
     ``output_dir``; when ``gt_dir`` holds same-stem masks, accumulates the
     confusion matrix and writes ``scores.json``. Returns the summary dict.
+
+    ``canvas_hw``: tiled high-resolution serving — load images at this
+    fixed canvas and slide the artifact's crop-size window over it with
+    50% overlap, averaging logits (cyclegan_tpu.eval_tile; windows ride
+    the artifact's batch-polymorphic dim). Requires a ``logits``-head
+    artifact (``--export_what logits``): argmax heads can't be averaged.
     """
     from PIL import Image
 
     if eval_resize not in ("resize", "center_crop"):
-        # "tile" is a framework-eval mode: artifacts have a fixed
-        # crop-sized input, so there is no canvas to tile here.
+        # "tile" as an eval_resize value is the framework-eval spelling;
+        # serving spells it --serve_canvas_height/width (needs the logits
+        # head, checked below).
         raise ValueError(
             f"--serve supports eval_resize resize|center_crop, got "
-            f"{eval_resize!r} (tiled eval is --testing's job; the artifact "
-            f"input is fixed at the training crop)")
+            f"{eval_resize!r} (for tiled serving pass --serve_canvas_height/"
+            f"--serve_canvas_width with a logits-head artifact)")
     exported = load_artifact(artifact_path)
     manifest = {}
     if os.path.exists(artifact_path + ".json"):
         with open(artifact_path + ".json") as f:
             manifest = json.load(f)
     head = manifest.get("head", "segment")
-    if head != "segment":
+    if head not in ("segment", "logits"):
         raise ValueError(
             f"artifact head is {head!r}; --serve drives the image->label "
-            f"segment head (the generate head consumes label maps — call "
-            f"load_artifact() directly for custom drivers)")
+            f"segment or logits head (the generate head consumes label maps "
+            f"— call load_artifact() directly for custom drivers)")
     in_shape = exported.in_avals[0].shape  # (b|B, H, W, C), b symbolic
     h, w, c = int(in_shape[1]), int(in_shape[2]), int(in_shape[3])
     num_classes = int(manifest.get("num_classes", 21))
 
-    names = _list_images(input_dir)
     call = jax.jit(exported.call)
+    if canvas_hw is not None:
+        if head != "logits":
+            raise ValueError(
+                "tiled serving averages window LOGITS; export with "
+                "--export_what logits (this artifact's head is "
+                f"{head!r})")
+        import jax.numpy as jnp
+
+        from cyclegan_tpu.eval_tile import tiled_logits
+
+        ch, cw = canvas_hw
+        if ch < h or cw < w:
+            raise ValueError(f"serve canvas {ch}x{cw} smaller than the "
+                             f"artifact window {h}x{w}")
+
+        def _tiled_argmax(x):
+            return jnp.argmax(
+                tiled_logits(lambda _, wins: call(wins), None, x, (h, w)),
+                axis=-1)
+
+        predict_batch = jax.jit(_tiled_argmax)
+        load_hw = (ch, cw)
+    elif head == "logits":
+        import jax.numpy as jnp
+
+        predict_batch = jax.jit(lambda x: jnp.argmax(call(x), axis=-1))
+        load_hw = (h, w)
+    else:
+        predict_batch = call
+        load_hw = (h, w)
+
+    names = _list_images(input_dir)
     os.makedirs(output_dir, exist_ok=True)
     hist = None
     scored = 0
     for chunk in _chunks(names, max(batch_size, 1)):
         batch = np.stack([
-            _load_image(os.path.join(input_dir, n), (h, w), c, eval_resize)
+            _load_image(os.path.join(input_dir, n), load_hw, c, eval_resize)
             for n in chunk])
-        pred = np.asarray(jax.device_get(call(batch)))
+        pred = np.asarray(jax.device_get(predict_batch(batch)))
         for name, p in zip(chunk, pred):
             stem = os.path.splitext(name)[0]
             Image.fromarray(decode_colormap(p.astype(np.uint8))).save(
@@ -136,7 +176,7 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
             mask_path = os.path.join(gt_dir, stem + ".png")
             if not os.path.exists(mask_path):
                 continue
-            lab = _load_mask(mask_path, (h, w), num_classes, eval_resize)
+            lab = _load_mask(mask_path, load_hw, num_classes, eval_resize)
             hh = np.asarray(metrics_lib.confusion_matrix(
                 p, lab, num_classes))
             hist = hh if hist is None else hist + hh

@@ -108,6 +108,65 @@ def test_serve_cli(artifact, image_dir, tmp_path):
     assert len(os.listdir(out)) == N_IMAGES
 
 
+@pytest.fixture(scope="module")
+def logits_artifact(artifact, tmp_path_factory):
+    path, trainer, state = artifact
+    exported = export_lib.export_predictor(
+        trainer.logits, state.g_i2l, height=H, width=W, in_channels=IN_CH,
+        platforms=("cpu",))
+    lpath = str(tmp_path_factory.mktemp("serve_logits") / "logits.shlo")
+    export_lib.save_artifact(lpath, exported, manifest={
+        "head": "logits", "num_classes": NUM_CLASSES})
+    return lpath
+
+
+def test_tiled_serving_matches_live_tiled_predict(logits_artifact, image_dir,
+                                                  artifact, tmp_path):
+    """Canvas serving: a logits-head artifact tiled over a 48x36 canvas
+    must reproduce the framework's live tiled predictor exactly."""
+    _, trainer, state = artifact
+    out = str(tmp_path / "tiled")
+    res = serve_lib.run_serve(logits_artifact, image_dir, out,
+                              batch_size=2, canvas_hw=(48, 36))
+    assert res["images"] == N_IMAGES
+
+    from cyclegan_tpu import eval_tile
+    from cyclegan_tpu.data.palette import decode_colormap
+    batch = np.stack([
+        serve_lib._load_image(os.path.join(image_dir, f"img_{i:02d}.png"),
+                              (48, 36), IN_CH, "resize")
+        for i in range(N_IMAGES)])
+    expect = np.asarray(eval_tile.tiled_predict(
+        trainer, state.g_i2l, batch, (H, W)))
+    for i in range(N_IMAGES):
+        got = np.asarray(Image.open(os.path.join(out, f"img_{i:02d}_pred.png")))
+        assert got.shape[:2] == (48, 36)
+        np.testing.assert_array_equal(
+            got, decode_colormap(expect[i].astype(np.uint8)))
+
+
+def test_logits_head_plain_serving_matches_segment(logits_artifact, artifact,
+                                                   image_dir, tmp_path):
+    """A logits artifact served WITHOUT a canvas argmaxes server-side and
+    must match the segment artifact's output PNGs."""
+    path, _, _ = artifact
+    out_seg = str(tmp_path / "seg")
+    out_log = str(tmp_path / "log")
+    serve_lib.run_serve(path, image_dir, out_seg, batch_size=3)
+    serve_lib.run_serve(logits_artifact, image_dir, out_log, batch_size=3)
+    for i in range(N_IMAGES):
+        a = np.asarray(Image.open(os.path.join(out_seg, f"img_{i:02d}_pred.png")))
+        b = np.asarray(Image.open(os.path.join(out_log, f"img_{i:02d}_pred.png")))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_tiled_serving_requires_logits_head(artifact, image_dir, tmp_path):
+    path, _, _ = artifact  # segment head
+    with pytest.raises(ValueError, match="logits"):
+        serve_lib.run_serve(path, image_dir, str(tmp_path / "x"),
+                            canvas_hw=(48, 36))
+
+
 def test_serve_rejects_duplicate_stems_and_tile(artifact, tmp_path):
     """Same-stem inputs would silently overwrite predictions and
     double-count scores (outputs/GT are stem-keyed) — reject loudly; and
