@@ -10,7 +10,9 @@ from a live checkpoint (SURVEY.md §3c); this serves the same outputs from
 a self-contained compiled artifact on any host with a matching backend.
 
 CLI: ``python -m cyclegan_tpu.main --serve model.shlo --serve_input imgs/
---serve_output preds/ [--serve_gt masks/]``.
+--serve_output preds/ [--serve_gt masks/]
+[--serve_canvas_height H --serve_canvas_width W]`` (the canvas flags
+enable tiled high-resolution serving from a logits-head artifact).
 """
 
 from __future__ import annotations
