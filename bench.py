@@ -30,7 +30,8 @@ except (FileNotFoundError, json.JSONDecodeError):
 def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
                 width: int | None = None, channels: int = 3,
                 classes: int = 21, gen_net: str = "resnet_9blocks",
-                remat: bool = False, scan: int = 1) -> float:
+                remat: bool = False, scan: int = 1,
+                grad_accum: int = 1) -> float:
     import jax
 
     from cyclegan_tpu.parallel import (
@@ -42,15 +43,18 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
     cfg = Config(dataset="synthetic", gen_net=gen_net,
                  crop_height=h, crop_width=w, batch_size=batch,
                  bf16=True, epochs=200, decay_epoch=100, remat=remat,
-                 steps_per_call=scan)
+                 steps_per_call=scan, grad_accum=grad_accum)
     trainer = CycleGANTrainer(cfg, num_classes=classes, in_channels=channels,
                               steps_per_epoch=100)
     mesh = make_mesh(1)
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
-    step = jit_step(select_step(trainer, scan))
+    step = jit_step(select_step(trainer, scan, grad_accum))
 
     rng = jax.random.PRNGKey(1)
-    lead = () if scan <= 1 else (scan,)
+    # One leading stack axis for either stacked form (they are mutually
+    # exclusive — parallel.select_step enforces it).
+    stack = scan if scan > 1 else grad_accum
+    lead = () if stack <= 1 else (stack,)
     batch_d = shard_batch(
         {
             "lab_image": jax.random.uniform(rng, lead + (batch, h, w, channels),
@@ -60,7 +64,7 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
                                               minval=-1, maxval=1),
         },
         mesh,
-        leading_stack=scan > 1,
+        leading_stack=stack > 1,
     )
     for _ in range(warmup):
         state, m = step(state, batch_d)
@@ -74,6 +78,9 @@ def measure_jax(size: int, batch: int, steps: int, warmup: int, *,
     # param leaf) forces the whole chain to have executed.
     jax.device_get(m)
     jax.device_get(jax.tree.leaves(state.g_i2l)[0])
+    # Optimizer steps per second: scan runs K updates per call; grad_accum
+    # runs ONE (each consuming grad_accum*batch images — images/s scales
+    # by the effective batch).
     return steps * max(scan, 1) / (time.perf_counter() - t0)
 
 
@@ -299,6 +306,10 @@ def main() -> None:
                     help="rematerialize generator trunks (large-batch HBM "
                          "relief; the round-3 b32 attribution found XLA's "
                          "own remat pass firing at b32)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="microbatches accumulated per optimizer step "
+                         "(effective batch grad_accum*batch at one "
+                         "microbatch's activation memory)")
     ap.add_argument("--scan", type=int, default=1,
                     help="steps per device call (lax.scan multi-step "
                          "batching; amortizes launch/scheduling at small "
@@ -378,7 +389,8 @@ def main() -> None:
     sps = measure_jax(args.size, args.batch, args.steps, args.warmup,
                       width=args.width, channels=args.channels,
                       classes=args.classes, gen_net=gen_net,
-                      remat=args.remat, scan=args.scan)
+                      remat=args.remat, scan=args.scan,
+                      grad_accum=args.grad_accum)
     w = args.width or args.size
     # The torch-CPU denominator was measured at 256x256 b1 rgb with the
     # PLAIN step — only report a ratio when the config matches it exactly
@@ -386,9 +398,11 @@ def main() -> None:
     comparable = (args.size == w == 256 and args.batch == 1
                   and args.channels == 3 and args.classes == 21
                   and gen_net == "resnet_9blocks"
-                  and args.scan <= 1 and not args.remat)
+                  and args.scan <= 1 and args.grad_accum <= 1
+                  and not args.remat)
     variant = (f"{_tag('resnet_9blocks')}"
                f"{f'_scan{args.scan}' if args.scan > 1 else ''}"
+               f"{f'_ga{args.grad_accum}' if args.grad_accum > 1 else ''}"
                f"{'_remat' if args.remat else ''}")
     result = {
         "metric": f"cyclegan_train_steps_per_sec_{args.size}x{w}"

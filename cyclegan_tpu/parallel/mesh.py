@@ -102,11 +102,23 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, rep), state)
 
 
-def select_step(trainer, steps_per_call: int = 1) -> Callable:
-    """The trainer step for a steps-per-call setting: the plain
-    ``train_step``, or ``multi_step`` (lax.scan over a leading-K batch
-    stack — pair with ``shard_batch(..., leading_stack=True)``). One
-    definition so the runner, bench, and dryrun can't diverge."""
+def select_step(trainer, steps_per_call: int = 1,
+                grad_accum: int = 1) -> Callable:
+    """The trainer step for a (steps_per_call, grad_accum) setting: the
+    plain ``train_step``; ``multi_step`` (K optimizer steps per device
+    call); or ``accum_step`` (ONE update accumulated over K microbatches —
+    ``Config.grad_accum``). Both stacked forms take leading-K batch stacks
+    (pair with ``shard_batch(..., leading_stack=True)``) and are mutually
+    exclusive: one device call is either K updates or one K-microbatch
+    update. One definition so the runner, bench, and dryrun can't
+    diverge."""
+    if steps_per_call > 1 and grad_accum > 1:
+        raise ValueError(
+            f"steps_per_call={steps_per_call} and grad_accum={grad_accum} "
+            f"are mutually exclusive (both consume the leading batch-stack "
+            f"axis)")
+    if grad_accum > 1:
+        return trainer.accum_step
     return trainer.train_step if steps_per_call <= 1 else trainer.multi_step
 
 

@@ -108,6 +108,146 @@ class CycleGANTrainer:
             jnp.where(labels == self.ignore_index, 0, labels), self.num_classes)
         return oh * (labels != self.ignore_index)[..., None]
 
+    def _apply(self, model, params_or_store, x, k=None, name=None):
+        """Train-mode apply (torch ``.train()`` — SURVEY.md §3a): dropout
+        active when configured (fresh mask per forward, reference
+        semantics); batch norm on batch statistics with running averages
+        recorded. When ``name`` selects a net from a ``store`` dict, the
+        store entry is replaced with the updated ``batch_stats`` — chaining
+        EMAs across same-net applies (grads through them are identically
+        zero — Adam is a no-op on stats; the write-back in the step is
+        authoritative)."""
+        store = params_or_store if name is not None else None
+        params = store[name] if store is not None else params_or_store
+        use_k = self.cfg.use_dropout and k is not None
+        rngs = {"dropout": k} if use_k else None
+        if "batch_stats" in params:
+            y, upd = model.apply(params, x, deterministic=False,
+                                 rngs=rngs, mutable=["batch_stats"])
+            if store is not None:
+                store[name] = {**params, **jax.lax.stop_gradient(upd)}
+            return y
+        return model.apply(params, x, deterministic=False, rngs=rngs)
+
+    def _g_loss(self, g_params, d_img, d_lab, batch, real_lab_oh, dkeys):
+        """G-phase total loss (reference G step, SURVEY.md §3a).
+
+        ``aux`` carries the fakes (for the pool/D phase) and the updated
+        ``bn``/``d_bn`` batch-stat collections. D params are
+        differentiation constants (functional ``set_grad(D, False)``) but
+        their batch-stat EMAs ARE recorded — the reference's
+        every-train-mode-forward semantics; the D phase starts from them.
+
+        Same-network applications are concatenated along batch (``fuse``):
+        instance norm is per-sample, so this is mathematically identical to
+        separate applies (asserted by the torch trajectory-parity tests)
+        but feeds the MXU 2x-larger conv batches and halves the
+        kernel-launch count — a TPU-first restructuring the reference's
+        sequential torch calls can't express. Disabled for the (off-spec)
+        batch-norm option, whose statistics would couple the concatenated
+        halves.
+        """
+        _apply = self._apply
+        fuse = self.cfg.norm != "batch"
+        b = batch["unlab_image"].shape[0]
+        gs = {"g_i2l": g_params[0], "g_l2i": g_params[1]}
+        d_stats = {"d_img": d_img, "d_lab": d_lab}
+        if fuse:
+            seg_out = _apply(
+                self.G_i2l, gs,
+                jnp.concatenate([batch["unlab_image"], batch["lab_image"]]),
+                dkeys[0], name="g_i2l")
+            fake_lab = jax.nn.softmax(seg_out[:b], axis=-1)
+            sup_logits = seg_out[b:]
+            l2i_out = _apply(
+                self.G_l2i, gs,
+                jnp.concatenate([real_lab_oh, fake_lab]), dkeys[1],
+                name="g_l2i")
+            fake_img, rec_img = l2i_out[:b], l2i_out[b:]
+        else:
+            fake_lab = jax.nn.softmax(
+                _apply(self.G_i2l, gs, batch["unlab_image"], dkeys[0],
+                       name="g_i2l"), axis=-1)
+            sup_logits = None  # applied AFTER the label cycle (below):
+            # the reference's G_i2l forward order is unlab -> fake_img
+            # (cycle) -> lab_img (sup), and batch-norm's EMA is
+            # order-sensitive. Loss values are order-independent (train
+            # mode normalizes with per-forward batch stats).
+            fake_img = _apply(self.G_l2i, gs, real_lab_oh, dkeys[1],
+                              name="g_l2i")
+            rec_img = _apply(self.G_l2i, gs, fake_lab, dkeys[2],
+                             name="g_l2i")
+        # adversarial (LSGAN) — grads flow to G through the D applies;
+        # the D stat updates go into d_stats.
+        adv_lab = losses.lsgan_loss(
+            _apply(self.D_lab, d_stats, fake_lab, name="d_lab"), True)
+        adv_img = losses.lsgan_loss(
+            _apply(self.D_img, d_stats, fake_img, name="d_img"), True)
+        # cycles
+        cyc_img = losses.l1_loss(rec_img, batch["unlab_image"]) * self.lamda
+        rec_lab_logits = _apply(self.G_i2l, gs, fake_img, dkeys[3],
+                                name="g_i2l")
+        cyc_lab = losses.cross_entropy_loss(
+            rec_lab_logits, batch["lab_label"],
+            ignore_index=self.ignore_index) * self.lamda_lab
+        # supervised CE on the labeled subset
+        if sup_logits is None:
+            sup_logits = _apply(self.G_i2l, gs, batch["lab_image"],
+                                dkeys[4], name="g_i2l")
+        sup = losses.cross_entropy_loss(
+            sup_logits, batch["lab_label"], ignore_index=self.ignore_index)
+        total = adv_lab + adv_img + cyc_img + cyc_lab + sup
+        aux = {
+            "g_adv": adv_lab + adv_img, "g_cycle_img": cyc_img,
+            "g_cycle_lab": cyc_lab, "g_sup": sup, "g_total": total,
+            "fake_lab": fake_lab, "fake_img": fake_img,
+            "bn": {n: t["batch_stats"] for n, t in gs.items()
+                   if "batch_stats" in t},
+            "d_bn": {n: t["batch_stats"] for n, t in d_stats.items()
+                     if "batch_stats" in t},
+        }
+        return total, aux
+
+    def _d_loss(self, d_params, batch, real_lab_oh, pooled_fake_img,
+                pooled_fake_lab):
+        """D-phase loss on real inputs vs pooled fakes (reference D step,
+        SURVEY.md §3a): 0.5·[MSE(D(real),1) + MSE(D(pool_fake),0)] per D.
+        Same batch-concat ``fuse`` restructuring as :meth:`_g_loss`."""
+        _apply = self._apply
+        fuse = self.cfg.norm != "batch"
+        b = batch["unlab_image"].shape[0]
+        ds = {"d_img": d_params[0], "d_lab": d_params[1]}
+        if fuse:
+            s_img = _apply(self.D_img, ds, jnp.concatenate(
+                [batch["unlab_image"], pooled_fake_img.astype(
+                    batch["unlab_image"].dtype)]), name="d_img")
+            d_img_loss = 0.5 * (losses.lsgan_loss(s_img[:b], True)
+                                + losses.lsgan_loss(s_img[b:], False))
+            s_lab = _apply(self.D_lab, ds, jnp.concatenate(
+                [real_lab_oh, pooled_fake_lab.astype(real_lab_oh.dtype)]),
+                name="d_lab")
+            d_lab_loss = 0.5 * (losses.lsgan_loss(s_lab[:b], True)
+                                + losses.lsgan_loss(s_lab[b:], False))
+        else:
+            d_img_loss = 0.5 * (
+                losses.lsgan_loss(_apply(self.D_img, ds,
+                                         batch["unlab_image"],
+                                         name="d_img"), True)
+                + losses.lsgan_loss(_apply(self.D_img, ds,
+                                           pooled_fake_img,
+                                           name="d_img"), False))
+            d_lab_loss = 0.5 * (
+                losses.lsgan_loss(_apply(self.D_lab, ds, real_lab_oh,
+                                         name="d_lab"), True)
+                + losses.lsgan_loss(_apply(self.D_lab, ds,
+                                           pooled_fake_lab,
+                                           name="d_lab"), False))
+        total = d_img_loss + d_lab_loss
+        return total, {"d_img": d_img_loss, "d_lab": d_lab_loss,
+                       "d_total": total,
+                       "bn": {n: t["batch_stats"] for n, t in ds.items()
+                              if "batch_stats" in t}}
+
     def train_step(self, state: CycleGANState, batch: dict
                    ) -> tuple[CycleGANState, dict]:
         """One alternating G/D update as a single functional step.
@@ -119,103 +259,10 @@ class CycleGANTrainer:
         # Dropout: fresh masks per forward call (reference semantics); inert
         # when use_dropout is off.
         rng0, *dkeys = jax.random.split(state.rng, 6)
-        use_dropout = self.cfg.use_dropout
 
-        # All applies run in torch train mode (``deterministic=False``):
-        # dropout active when configured; batch norm on batch statistics
-        # with running averages recorded. ``store`` chains the updated
-        # ``batch_stats`` across same-net applies (grads through them are
-        # identically zero — Adam is a no-op on stats; the EMA write-back
-        # below is authoritative). D applies inside the G phase record their
-        # stat updates too (the reference's every-train-mode-forward
-        # semantics, SURVEY.md §3a): the D phase then STARTS from those
-        # G-phase-updated running stats.
-        def _apply(model, params_or_store, x, k=None, name=None):
-            store = params_or_store if name is not None else None
-            params = store[name] if store is not None else params_or_store
-            rngs = {"dropout": k} if (use_dropout and k is not None) else None
-            if "batch_stats" in params:
-                y, upd = model.apply(params, x, deterministic=False,
-                                     rngs=rngs, mutable=["batch_stats"])
-                if store is not None:
-                    store[name] = {**params, **jax.lax.stop_gradient(upd)}
-                return y
-            return model.apply(params, x, deterministic=False, rngs=rngs)
-
-        # Same-network applications are concatenated along batch: instance
-        # norm is per-sample, so this is mathematically identical to separate
-        # applies (asserted by the torch trajectory-parity tests) but feeds
-        # the MXU 2x-larger conv batches and halves the kernel-launch count —
-        # a TPU-first restructuring the reference's sequential torch calls
-        # can't express. Disabled for the (off-spec) batch-norm option, whose
-        # statistics would couple the concatenated halves.
-        fuse = self.cfg.norm != "batch"
-        b = batch["unlab_image"].shape[0]
-
-        def g_loss_fn(g_params):
-            gs = {"g_i2l": g_params[0], "g_l2i": g_params[1]}
-            # D params are closed-over constants (functional set_grad(D,
-            # False)) but their batch-stat EMAs ARE recorded — chained
-            # through this store and threaded into the D phase below.
-            d_stats = {"d_img": state.d_img, "d_lab": state.d_lab}
-            if fuse:
-                seg_out = _apply(
-                    self.G_i2l, gs,
-                    jnp.concatenate([batch["unlab_image"], batch["lab_image"]]),
-                    dkeys[0], name="g_i2l")
-                fake_lab = jax.nn.softmax(seg_out[:b], axis=-1)
-                sup_logits = seg_out[b:]
-                l2i_out = _apply(
-                    self.G_l2i, gs,
-                    jnp.concatenate([real_lab_oh, fake_lab]), dkeys[1],
-                    name="g_l2i")
-                fake_img, rec_img = l2i_out[:b], l2i_out[b:]
-            else:
-                fake_lab = jax.nn.softmax(
-                    _apply(self.G_i2l, gs, batch["unlab_image"], dkeys[0],
-                           name="g_i2l"), axis=-1)
-                sup_logits = None  # applied AFTER the label cycle (below):
-                # the reference's G_i2l forward order is unlab -> fake_img
-                # (cycle) -> lab_img (sup), and batch-norm's EMA is
-                # order-sensitive. Loss values are order-independent (train
-                # mode normalizes with per-forward batch stats).
-                fake_img = _apply(self.G_l2i, gs, real_lab_oh, dkeys[1],
-                                  name="g_l2i")
-                rec_img = _apply(self.G_l2i, gs, fake_lab, dkeys[2],
-                                 name="g_l2i")
-            # adversarial (LSGAN) — grads flow to G through the D applies;
-            # the D stat updates go into d_stats.
-            adv_lab = losses.lsgan_loss(
-                _apply(self.D_lab, d_stats, fake_lab, name="d_lab"), True)
-            adv_img = losses.lsgan_loss(
-                _apply(self.D_img, d_stats, fake_img, name="d_img"), True)
-            # cycles
-            cyc_img = losses.l1_loss(rec_img, batch["unlab_image"]) * self.lamda
-            rec_lab_logits = _apply(self.G_i2l, gs, fake_img, dkeys[3],
-                                    name="g_i2l")
-            cyc_lab = losses.cross_entropy_loss(
-                rec_lab_logits, batch["lab_label"],
-                ignore_index=self.ignore_index) * self.lamda_lab
-            # supervised CE on the labeled subset
-            if sup_logits is None:
-                sup_logits = _apply(self.G_i2l, gs, batch["lab_image"],
-                                    dkeys[4], name="g_i2l")
-            sup = losses.cross_entropy_loss(
-                sup_logits, batch["lab_label"], ignore_index=self.ignore_index)
-            total = adv_lab + adv_img + cyc_img + cyc_lab + sup
-            aux = {
-                "g_adv": adv_lab + adv_img, "g_cycle_img": cyc_img,
-                "g_cycle_lab": cyc_lab, "g_sup": sup, "g_total": total,
-                "fake_lab": fake_lab, "fake_img": fake_img,
-                "bn": {n: t["batch_stats"] for n, t in gs.items()
-                       if "batch_stats" in t},
-                "d_bn": {n: t["batch_stats"] for n, t in d_stats.items()
-                         if "batch_stats" in t},
-            }
-            return total, aux
-
-        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            (state.g_i2l, state.g_l2i))
+        (_, aux), g_grads = jax.value_and_grad(self._g_loss, has_aux=True)(
+            (state.g_i2l, state.g_l2i), state.d_img, state.d_lab, batch,
+            real_lab_oh, dkeys)
         g_updates, g_opt = self.g_tx.update(
             g_grads, state.g_opt, (state.g_i2l, state.g_l2i))
         g_i2l, g_l2i = optax.apply_updates((state.g_i2l, state.g_l2i), g_updates)
@@ -247,41 +294,9 @@ class CycleGANTrainer:
             pool_img, pooled_fake_img = state.pool_img, fake_img
             pool_lab, pooled_fake_lab = state.pool_lab, fake_lab
 
-        def d_loss_fn(d_params):
-            ds = {"d_img": d_params[0], "d_lab": d_params[1]}
-            if fuse:
-                s_img = _apply(self.D_img, ds, jnp.concatenate(
-                    [batch["unlab_image"], pooled_fake_img.astype(
-                        batch["unlab_image"].dtype)]), name="d_img")
-                d_img_loss = 0.5 * (losses.lsgan_loss(s_img[:b], True)
-                                    + losses.lsgan_loss(s_img[b:], False))
-                s_lab = _apply(self.D_lab, ds, jnp.concatenate(
-                    [real_lab_oh, pooled_fake_lab.astype(real_lab_oh.dtype)]),
-                    name="d_lab")
-                d_lab_loss = 0.5 * (losses.lsgan_loss(s_lab[:b], True)
-                                    + losses.lsgan_loss(s_lab[b:], False))
-            else:
-                d_img_loss = 0.5 * (
-                    losses.lsgan_loss(_apply(self.D_img, ds,
-                                             batch["unlab_image"],
-                                             name="d_img"), True)
-                    + losses.lsgan_loss(_apply(self.D_img, ds,
-                                               pooled_fake_img,
-                                               name="d_img"), False))
-                d_lab_loss = 0.5 * (
-                    losses.lsgan_loss(_apply(self.D_lab, ds, real_lab_oh,
-                                             name="d_lab"), True)
-                    + losses.lsgan_loss(_apply(self.D_lab, ds,
-                                               pooled_fake_lab,
-                                               name="d_lab"), False))
-            total = d_img_loss + d_lab_loss
-            return total, {"d_img": d_img_loss, "d_lab": d_lab_loss,
-                           "d_total": total,
-                           "bn": {n: t["batch_stats"] for n, t in ds.items()
-                                  if "batch_stats" in t}}
-
-        (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            (d_img_in, d_lab_in))
+        (_, d_aux), d_grads = jax.value_and_grad(self._d_loss, has_aux=True)(
+            (d_img_in, d_lab_in), batch, real_lab_oh, pooled_fake_img,
+            pooled_fake_lab)
         d_updates, d_opt = self.d_tx.update(
             d_grads, state.d_opt, (d_img_in, d_lab_in))
         d_img_p, d_lab_p = optax.apply_updates((d_img_in, d_lab_in), d_updates)
@@ -311,6 +326,130 @@ class CycleGANTrainer:
         """
         state, ms = jax.lax.scan(self.train_step, state, batches)
         return state, jax.tree.map(lambda x: x[-1], ms)
+
+    def accum_step(self, state: CycleGANState, batches: dict
+                   ) -> tuple[CycleGANState, dict]:
+        """ONE alternating G/D update accumulated over K stacked microbatches
+        (``Config.grad_accum``; ``batches`` carries a leading K axis like
+        :meth:`multi_step`).
+
+        Effective batch K*B at ONE microbatch's activation memory: every
+        microbatch's forward+backward lives inside its ``lax.scan``
+        iteration, so the backward-pass activation footprint — the peak-HBM
+        driver that pushes large single-call batches into XLA's
+        rematerialization regime (BASELINE.md b32 attribution) — never
+        exceeds a single microbatch's.
+
+        Semantics vs one :meth:`train_step` on the concatenated K*B batch
+        (asserted by tests/test_grad_accum.py):
+        - losses/grads: identical — means of equal-size microbatch means —
+          when every microbatch has the same CE valid-pixel count
+          (otherwise the standard torch-convention microbatch-mean
+          averaging);
+        - pools: queried once per MICROBATCH (K sequential queries per
+          update), so the replay stream differs from a single K*B query;
+        - batch norm: per-microbatch statistics, running stats chained
+          sequentially (torch semantics of K separate forwards).
+        """
+        K = jax.tree.leaves(batches)[0].shape[0]
+        oh_all = self._onehot(batches["lab_label"])        # (K, B, H, W, C)
+        rng, k_drop, k_pool = jax.random.split(state.rng, 3)
+        dkeys = jax.random.split(k_drop, (K, 5))
+        pkeys = jax.random.split(k_pool, (K, 2))
+        zeros_of = lambda tree: jax.tree.map(jnp.zeros_like, tree)  # noqa: E731
+        fsum = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
+
+        # --- G phase: grads accumulate against FIXED params; batch-stat
+        # EMAs (G's and the G-phase D forwards') chain through the carry.
+        g_p0 = (state.g_i2l, state.g_l2i)
+
+        def g_micro(carry, xs):
+            gsum, g_i2l_c, g_l2i_c, d_img_c, d_lab_c, msum = carry
+            batch_i, oh_i, keys_i = xs
+            (_, aux), grads = jax.value_and_grad(self._g_loss, has_aux=True)(
+                (g_i2l_c, g_l2i_c), d_img_c, d_lab_c, batch_i, oh_i, keys_i)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            g_bn, d_bn = aux.pop("bn"), aux.pop("d_bn")
+            if "g_i2l" in g_bn:
+                g_i2l_c = {**g_i2l_c, "batch_stats": g_bn["g_i2l"]}
+            if "g_l2i" in g_bn:
+                g_l2i_c = {**g_l2i_c, "batch_stats": g_bn["g_l2i"]}
+            if "d_img" in d_bn:
+                d_img_c = {**d_img_c, "batch_stats": d_bn["d_img"]}
+            if "d_lab" in d_bn:
+                d_lab_c = {**d_lab_c, "batch_stats": d_bn["d_lab"]}
+            fakes = (jax.lax.stop_gradient(aux.pop("fake_img")),
+                     jax.lax.stop_gradient(aux.pop("fake_lab")))
+            return (gsum, g_i2l_c, g_l2i_c, d_img_c, d_lab_c,
+                    jax.tree.map(jnp.add, msum, aux)), fakes
+
+        g_metric0 = {k: fsum() for k in
+                     ("g_adv", "g_cycle_img", "g_cycle_lab", "g_sup",
+                      "g_total")}
+        init_g = (zeros_of(g_p0), state.g_i2l, state.g_l2i, state.d_img,
+                  state.d_lab, g_metric0)
+        (gsum, g_i2l_c, g_l2i_c, d_img_in, d_lab_in, g_msum), fakes = \
+            jax.lax.scan(g_micro, init_g, (batches, oh_all, dkeys))
+        fake_imgs, fake_labs = fakes                       # (K, B, H, W, C)
+        g_updates, g_opt = self.g_tx.update(
+            jax.tree.map(lambda x: x / K, gsum), state.g_opt, g_p0)
+        g_i2l, g_l2i = optax.apply_updates(g_p0, g_updates)
+        if "batch_stats" in g_i2l_c:
+            g_i2l = {**g_i2l, "batch_stats": g_i2l_c["batch_stats"]}
+        if "batch_stats" in g_l2i_c:
+            g_l2i = {**g_l2i, "batch_stats": g_l2i_c["batch_stats"]}
+
+        # --- Pool phase: K sequential per-microbatch queries.
+        if self.cfg.pool_size > 0:
+            def pool_micro(pools, xs):
+                p_img, p_lab = pools
+                f_img, f_lab, ks = xs
+                p_img, out_img = pool_query(p_img, f_img, ks[0])
+                p_lab, out_lab = pool_query(p_lab, f_lab, ks[1])
+                return (p_img, p_lab), (out_img, out_lab)
+
+            (pool_img, pool_lab), (pooled_imgs, pooled_labs) = jax.lax.scan(
+                pool_micro, (state.pool_img, state.pool_lab),
+                (fake_imgs, fake_labs, pkeys))
+        else:
+            pool_img, pool_lab = state.pool_img, state.pool_lab
+            pooled_imgs, pooled_labs = fake_imgs, fake_labs
+
+        # --- D phase: starts from the G-phase-updated D running stats.
+        d_p0 = (d_img_in, d_lab_in)
+
+        def d_micro(carry, xs):
+            dsum, d_img_c, d_lab_c, msum = carry
+            batch_i, oh_i, pf_img, pf_lab = xs
+            (_, daux), grads = jax.value_and_grad(self._d_loss, has_aux=True)(
+                (d_img_c, d_lab_c), batch_i, oh_i, pf_img, pf_lab)
+            dsum = jax.tree.map(jnp.add, dsum, grads)
+            d_bn = daux.pop("bn")
+            if "d_img" in d_bn:
+                d_img_c = {**d_img_c, "batch_stats": d_bn["d_img"]}
+            if "d_lab" in d_bn:
+                d_lab_c = {**d_lab_c, "batch_stats": d_bn["d_lab"]}
+            return (dsum, d_img_c, d_lab_c,
+                    jax.tree.map(jnp.add, msum, daux)), None
+
+        d_metric0 = {k: fsum() for k in ("d_img", "d_lab", "d_total")}
+        init_d = (zeros_of(d_p0), d_img_in, d_lab_in, d_metric0)
+        (dsum, d_img_c, d_lab_c, d_msum), _ = jax.lax.scan(
+            d_micro, init_d, (batches, oh_all, pooled_imgs, pooled_labs))
+        d_updates, d_opt = self.d_tx.update(
+            jax.tree.map(lambda x: x / K, dsum), state.d_opt, d_p0)
+        d_img_p, d_lab_p = optax.apply_updates(d_p0, d_updates)
+        if "batch_stats" in d_img_c:
+            d_img_p = {**d_img_p, "batch_stats": d_img_c["batch_stats"]}
+        if "batch_stats" in d_lab_c:
+            d_lab_p = {**d_lab_p, "batch_stats": d_lab_c["batch_stats"]}
+
+        new_state = CycleGANState(
+            g_i2l=g_i2l, g_l2i=g_l2i, d_img=d_img_p, d_lab=d_lab_p,
+            g_opt=g_opt, d_opt=d_opt, pool_img=pool_img, pool_lab=pool_lab,
+            rng=rng, step=state.step + 1)
+        return new_state, {k: v / K for k, v in
+                           {**g_msum, **d_msum}.items()}
 
     def logits(self, g_i2l_params: Any, image: jax.Array) -> jax.Array:
         """Raw class logits of the i2l generator (tiled eval hooks here)."""

@@ -44,21 +44,40 @@ def _dataset_spec(cfg: Config):
     return num_classes, in_ch
 
 
-def _effective_steps_per_epoch(cfg: Config, steps_per_epoch: int) -> int:
-    """Optimizer steps actually taken per epoch. With steps_per_call > 1
-    the runner drops the epoch tail that doesn't fill a K-stack — the LR
-    staircase (keyed off the step counter with a static steps_per_epoch)
-    must use this value or decay would silently start late."""
+def _stacking(cfg: Config) -> tuple[int, int]:
+    """(host batches per device call, optimizer steps per device call).
+
+    steps_per_call stacks K batches for K chained updates; grad_accum
+    stacks K microbatches for ONE accumulated update. Mutually exclusive
+    (enforced by parallel.select_step too)."""
     spc = max(int(getattr(cfg, "steps_per_call", 1) or 1), 1)
-    if spc <= 1:
-        return steps_per_epoch
-    if steps_per_epoch < spc:
+    ga = max(int(getattr(cfg, "grad_accum", 1) or 1), 1)
+    if spc > 1 and ga > 1:
         raise ValueError(
-            f"steps_per_call={spc} exceeds the epoch length "
-            f"({steps_per_epoch} steps) — every batch would land in the "
-            f"dropped tail and training would silently do nothing; lower "
-            f"--steps_per_call or --batch_size")
-    return (steps_per_epoch // spc) * spc
+            f"--steps_per_call {spc} and --grad_accum {ga} are mutually "
+            f"exclusive (both consume the leading batch-stack axis)")
+    stack = spc * ga
+    return stack, (spc if ga == 1 else 1)
+
+
+def _effective_steps_per_epoch(cfg: Config, steps_per_epoch: int) -> int:
+    """Optimizer steps actually taken per epoch. With a batch stack
+    (steps_per_call or grad_accum > 1) the runner drops the epoch tail
+    that doesn't fill a K-stack — the LR staircase (keyed off the step
+    counter with a static steps_per_epoch) must use this value or decay
+    would silently start late. With grad_accum, K host batches make ONE
+    optimizer step."""
+    stack, opt_per_call = _stacking(cfg)
+    if stack <= 1:
+        return steps_per_epoch
+    if steps_per_epoch < stack:
+        raise ValueError(
+            f"the {stack}-batch stack (steps_per_call/grad_accum) exceeds "
+            f"the epoch length ({steps_per_epoch} steps) — every batch "
+            f"would land in the dropped tail and training would silently "
+            f"do nothing; lower --steps_per_call/--grad_accum or "
+            f"--batch_size")
+    return (steps_per_epoch // stack) * opt_per_call
 
 
 def _eval_shaping(cfg: Config) -> tuple[tuple[int, int], str]:
@@ -223,13 +242,18 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
     validation + checkpoint + auto-resume (SURVEY.md §3a outer loop)."""
     enable_debug_flags(cfg.debug_nans)
     primary = distributed.is_primary()
-    # Multi-step scan batching (Config.steps_per_call > 1): K optimizer
-    # steps per device call via trainer.multi_step — amortizes per-call
-    # host dispatch (matters most in fleet runs; measured ~+1% single-chip,
-    # docs/KERNELS.md round-3). Epoch-tail batches that don't fill a stack
-    # are dropped, like drop_last batching.
+    # Batch stacking (K host batches per device call): steps_per_call > 1
+    # runs K optimizer steps per call (trainer.multi_step — amortizes
+    # per-call host dispatch, measured ~+1% single-chip, docs/KERNELS.md
+    # round-3); grad_accum > 1 runs ONE update accumulated over K
+    # microbatches (trainer.accum_step — effective batch K*B at one
+    # microbatch's activation memory). Epoch-tail batches that don't fill
+    # a stack are dropped, like drop_last batching.
+    stack, opt_per_call = _stacking(cfg)
     spc = max(int(getattr(cfg, "steps_per_call", 1) or 1), 1)
-    step_jit = _aligned_jit(jit_step(select_step(trainer, spc)), "train_exec")
+    ga = max(int(getattr(cfg, "grad_accum", 1) or 1), 1)
+    step_jit = _aligned_jit(jit_step(select_step(trainer, spc, ga)),
+                            "train_exec")
     eval_jit, _ = _make_eval_fns(cfg, trainer)
     # Only the primary process writes logs/traces (shared-filesystem safety);
     # every process participates in compute and checkpoint restore.
@@ -267,13 +291,15 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
     def _wrap(st, epoch, pos, gstep):
         # 0-d ndarrays, not numpy scalars: Orbax's StandardCheckpointHandler
         # rejects np.int64 scalar leaves in templates. `pos` counts DEVICE
-        # CALLS (steps_per_call stacks), so the writing run's spc is stored
-        # alongside it — a resume with a different --steps_per_call would
-        # silently re-train or skip batches.
+        # CALLS (steps_per_call/grad_accum stacks), so the writing run's
+        # spc/ga are stored alongside it — a resume with a different
+        # --steps_per_call/--grad_accum would silently re-train or skip
+        # batches.
         return {"state": st, "epoch": np.asarray(epoch, np.int64),
                 "pos": np.asarray(pos, np.int64),
                 "gstep": np.asarray(gstep, np.int64),
-                "spc": np.asarray(spc, np.int64)}
+                "spc": np.asarray(spc, np.int64),
+                "ga": np.asarray(ga, np.int64)}
 
     if mid_every:
         # Synchronous saves: a preemption checkpoint's job is to be durable
@@ -283,26 +309,35 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
         try:
             mres = mid_ckpt.restore(_wrap(state, 0, 0, 0))
         except Exception:
-            # Mid checkpoints written before `spc` was recorded: restore
-            # with the legacy template and assume the writer's
-            # steps_per_call equals this run's (the only behavior the old
-            # format supported).
-            legacy = {k: v for k, v in _wrap(state, 0, 0, 0).items()
-                      if k != "spc"}
-            mres = mid_ckpt.restore(legacy)
+            # Mid checkpoints from before `ga` (grad_accum) / before `spc`
+            # were recorded: retry with the older templates. A pre-`ga`
+            # writer had no grad_accum feature (ga was 1 by construction);
+            # a pre-`spc` writer's steps_per_call is assumed equal to this
+            # run's (the only behavior that format supported).
+            full = _wrap(state, 0, 0, 0)
+            try:
+                legacy = {k: v for k, v in full.items() if k != "ga"}
+                mres = mid_ckpt.restore(legacy)
+            except Exception:
+                legacy = {k: v for k, v in full.items()
+                          if k not in ("spc", "ga")}
+                mres = mid_ckpt.restore(legacy)
+                if mres is not None:
+                    mres[0]["spc"] = np.asarray(spc, np.int64)
             if mres is not None:
-                mres[0]["spc"] = np.asarray(spc, np.int64)
+                mres[0].setdefault("ga", np.asarray(1, np.int64))
         # A mid-checkpoint older than the last epoch save is stale: the
         # epoch it belongs to completed, so the per-epoch restore wins.
         if mres is not None and int(mres[0]["epoch"]) >= start_epoch:
             w = mres[0]
-            if int(w["spc"]) != spc:
+            if int(w["spc"]) != spc or int(w["ga"]) != ga:
                 raise ValueError(
                     f"mid-epoch checkpoint in {cfg.checkpoint_dir}/mid was "
-                    f"written with --steps_per_call {int(w['spc'])} but this "
-                    f"run uses {spc}; its position is stored in device-call "
-                    f"units — relaunch with --steps_per_call {int(w['spc'])} "
-                    f"(or delete the mid/ dir to restart the epoch)")
+                    f"written with --steps_per_call {int(w['spc'])} "
+                    f"--grad_accum {int(w['ga'])} but this run uses "
+                    f"{spc}/{ga}; its position is stored in device-call "
+                    f"units — relaunch with the writer's values (or delete "
+                    f"the mid/ dir to restart the epoch)")
             state = replicate_state(w["state"], mesh)
             start_epoch, skip_calls = int(w["epoch"]), int(w["pos"])
             print(f"resumed mid-epoch {start_epoch} at call {skip_calls}",
@@ -356,7 +391,7 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
         buf = []
         for b in gen:
             buf.append(b)
-            if len(buf) == spc:
+            if len(buf) == stack:
                 yield jax.tree.map(lambda *xs: np.stack(xs), *buf)
                 buf = []
         # tail < K dropped (documented above)
@@ -371,13 +406,13 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
         import collections
 
         gen = batches_of_epoch(epoch)
-        if spc > 1:
+        if stack > 1:
             gen = stacked(gen)
         if skip:
             gen = itertools.islice(gen, skip, None)
         q = collections.deque()
         for b in gen:
-            q.append(shard_batch(b, mesh, leading_stack=spc > 1))
+            q.append(shard_batch(b, mesh, leading_stack=stack > 1))
             if len(q) >= depth:
                 yield q.popleft()
         while q:
@@ -410,10 +445,12 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
             for batch in prefetched(epoch, skip=epoch_base):
                 profiler.maybe_start(total_steps)
                 state, m = step_jit(state, batch)
-                n += spc
-                total_steps += spc
+                n += opt_per_call
+                total_steps += opt_per_call
                 profiler.maybe_stop(total_steps)
-                if (n // spc) % max(cfg.log_every // spc, 1) == 0 and primary:
+                if ((n // opt_per_call)
+                        % max(cfg.log_every // opt_per_call, 1) == 0
+                        and primary):
                     sps = n / (time.perf_counter() - t0)
                     flush_pending()
                     pending = (dict(step=total_steps, epoch=epoch,
@@ -434,7 +471,7 @@ def _train_loop(cfg: Config, trainer, state, mesh, batches_of_epoch, seg_params,
                         preempted = _global_preempt()
                         mid_ckpt.save(gstep, _wrap(
                             jax.device_get(state), epoch,
-                            epoch_base + n // spc, gstep))
+                            epoch_base + n // opt_per_call, gstep))
                         last_mid = gstep
                     if preempted:
                         break

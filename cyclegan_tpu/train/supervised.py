@@ -104,6 +104,57 @@ class SupervisedTrainer:
         state, ms = jax.lax.scan(self.train_step, state, batches)
         return state, jax.tree.map(lambda x: x[-1], ms)
 
+    def accum_step(self, state: SupervisedState, batches: dict
+                   ) -> tuple[SupervisedState, dict]:
+        """ONE optimizer update accumulated over K stacked microbatches
+        (``Config.grad_accum``; leading-K batch stacks like
+        :meth:`multi_step`). Grads are microbatch-mean averaged — identical
+        to the K*B batch when every microbatch has the same CE valid-pixel
+        count (the standard accumulation convention otherwise); batch-norm
+        running stats chain sequentially (torch semantics of K separate
+        forwards). Peak activation memory = one microbatch's — each
+        microbatch's forward+backward lives inside its ``lax.scan``
+        iteration. Equivalence asserted by tests/test_grad_accum.py."""
+        K = jax.tree.leaves(batches)[0].shape[0]
+        rng, k_drop = jax.random.split(state.rng)
+        dkeys = jax.random.split(k_drop, K)
+        has_bn = "batch_stats" in state.params
+
+        def loss_fn(params, batch, k):
+            rngs = {"dropout": k} if self.cfg.use_dropout else None
+            if has_bn:
+                logits, upd = self.model.apply(
+                    params, batch["image"], deterministic=False, rngs=rngs,
+                    mutable=["batch_stats"])
+            else:
+                logits = self.model.apply(
+                    params, batch["image"], deterministic=False, rngs=rngs)
+                upd = {}
+            loss = losses.cross_entropy_loss(
+                logits, batch["label"], ignore_index=self.ignore_index)
+            return loss, jax.lax.stop_gradient(upd)
+
+        def micro(carry, xs):
+            gsum, params_c, lsum = carry
+            batch_i, k_i = xs
+            (loss, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params_c, batch_i, k_i)
+            if has_bn:
+                params_c = {**params_c, **upd}
+            return (jax.tree.map(jnp.add, gsum, grads), params_c,
+                    lsum + loss), None
+
+        init = (jax.tree.map(jnp.zeros_like, state.params), state.params,
+                jnp.zeros((), jnp.float32))
+        (gsum, params_c, lsum), _ = jax.lax.scan(micro, init, (batches, dkeys))
+        updates, opt_state = self.tx.update(
+            jax.tree.map(lambda x: x / K, gsum), state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if has_bn:
+            params = {**params, "batch_stats": params_c["batch_stats"]}
+        return (SupervisedState(params, opt_state, rng, state.step + 1),
+                {"ce_loss": lsum / K})
+
     def logits(self, params: Any, image: jax.Array) -> jax.Array:
         """Raw class logits (the segmentation head; tiled eval hooks here)."""
         return self.model.apply(params, image)

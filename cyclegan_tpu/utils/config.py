@@ -72,6 +72,13 @@ class Config:
     # program (lax.scan) — amortizes launch/dispatch and cross-step
     # scheduling at small batch (docs/KERNELS.md round-3). 1 = off.
     steps_per_call: int = 1
+    # Gradient accumulation: ONE optimizer update from K stacked
+    # microbatches (lax.scan) — effective batch K*batch_size at a single
+    # microbatch's activation memory, the lever for batches whose
+    # backward-pass temporaries overflow HBM into XLA's remat regime
+    # (BASELINE.md b32 attribution). Mutually exclusive with
+    # steps_per_call. 1 = off.
+    grad_accum: int = 1
     remat: bool = False                # rematerialize generator trunks
     num_devices: int | None = None     # None = all visible
     spatial_shards: int = 1            # spatial (H) partitioning factor

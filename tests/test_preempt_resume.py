@@ -128,16 +128,47 @@ def test_mid_resume_accepts_legacy_checkpoint_without_spc(tmp_path, monkeypatch)
                          steps_per_epoch=STEPS_PER_EPOCH)
     tmpl = {"state": jax.device_get(tr.init_state(jax.random.PRNGKey(cfg.seed))),
             "epoch": np.asarray(0, np.int64), "pos": np.asarray(0, np.int64),
-            "gstep": np.asarray(0, np.int64), "spc": np.asarray(1, np.int64)}
+            "gstep": np.asarray(0, np.int64), "spc": np.asarray(1, np.int64),
+            "ga": np.asarray(1, np.int64)}
     mngr = CheckpointManager(os.path.join(cfg.checkpoint_dir, "mid"),
                              max_to_keep=1, async_save=False)
     w, _ = mngr.restore(tmpl)
-    legacy = {k: v for k, v in w.items() if k != "spc"}
+    legacy = {k: v for k, v in w.items() if k not in ("spc", "ga")}
     mngr.save(int(w["gstep"]) + 1, legacy)
     mngr.wait()
     mngr.close()
 
     res = run_cyclegan(cfg)  # must resume via the legacy fallback
+    assert "preempted" not in res
+    _, nxt = _final_state(cfg)
+    assert nxt == cfg.epochs
+
+
+def test_mid_resume_accepts_checkpoint_without_ga(tmp_path, monkeypatch):
+    """Mid checkpoints from the spc-era format (records steps_per_call but
+    predates grad_accum) restore via the minus-ga fallback; the writer's
+    grad_accum was 1 by construction."""
+    monkeypatch.setenv("CYCLEGAN_TPU_PREEMPT_AT_STEP", "3")
+    cfg = _cfg(tmp_path, "noga")
+    assert run_cyclegan(cfg).get("preempted") is True
+    monkeypatch.delenv("CYCLEGAN_TPU_PREEMPT_AT_STEP")
+
+    num_classes, in_ch, _ = DATASET_SPECS[cfg.dataset]
+    tr = CycleGANTrainer(cfg, num_classes, in_ch,
+                         steps_per_epoch=STEPS_PER_EPOCH)
+    tmpl = {"state": jax.device_get(tr.init_state(jax.random.PRNGKey(cfg.seed))),
+            "epoch": np.asarray(0, np.int64), "pos": np.asarray(0, np.int64),
+            "gstep": np.asarray(0, np.int64), "spc": np.asarray(1, np.int64),
+            "ga": np.asarray(1, np.int64)}
+    mngr = CheckpointManager(os.path.join(cfg.checkpoint_dir, "mid"),
+                             max_to_keep=1, async_save=False)
+    w, _ = mngr.restore(tmpl)
+    spc_era = {k: v for k, v in w.items() if k != "ga"}
+    mngr.save(int(w["gstep"]) + 1, spc_era)
+    mngr.wait()
+    mngr.close()
+
+    res = run_cyclegan(cfg)
     assert "preempted" not in res
     _, nxt = _final_state(cfg)
     assert nxt == cfg.epochs
