@@ -83,9 +83,63 @@ def load_artifact(path: str):
     return exported
 
 
+def export_savedmodel(fn, params: Any, spec: jax.ShapeDtypeStruct,
+                      out_dir: str, *, batch: int | str = "b",
+                      platforms: Sequence[str] = DEFAULT_PLATFORMS,
+                      manifest: dict | None = None) -> str:
+    """Export ``fn(params, x)`` as a TensorFlow SavedModel (TF-Serving /
+    ``tf.saved_model.load`` compatible) — the same natively-serialized
+    StableHLO as the ``.shlo`` artifact, wrapped in a ``serving_default``
+    signature via ``jax2tf.convert(native_serialization=True)``.
+
+    Use this head when the serving fleet speaks TF-Serving; use the
+    ``.shlo`` artifact for JAX serving hosts (cyclegan_tpu.serve). The
+    math is identical either way: jax2tf native serialization embeds the
+    jax.export StableHLO module, TF only provides the container and
+    runtime dispatch.
+
+    ``spec`` carries the NON-batch dims; ``batch`` is an int for a fixed
+    batch or a name for a polymorphic batch dimension (TF side: dim 0 =
+    None).
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    params = jax.device_get(params)
+    poly = None
+    tf_batch: int | None = batch if isinstance(batch, int) else None
+    if tf_batch is None:
+        dims = ", ".join(["_"] * (len(spec.shape) - 1))
+        poly = [f"({batch}, {dims})"]
+    # Native serialization is jax2tf's default (and only maintained) mode;
+    # passing the flag explicitly is deprecated.
+    tf_fn = jax2tf.convert(
+        lambda x: fn(params, x), polymorphic_shapes=poly,
+        native_serialization_platforms=tuple(platforms))
+    module = tf.Module()
+    module.serve = tf.function(
+        tf_fn, autograph=False,
+        input_signature=[tf.TensorSpec((tf_batch,) + tuple(spec.shape[1:]),
+                                       tf.as_dtype(np.dtype(spec.dtype)),
+                                       name="input")])
+    tf.saved_model.save(
+        module, out_dir,
+        signatures={"serving_default": module.serve})
+    info = {"format": "tf_saved_model", "jax_version": jax.__version__,
+            "tf_version": tf.__version__,
+            "platforms": list(platforms),
+            "input_shape": [tf_batch] + list(spec.shape[1:]),
+            "input_dtype": str(np.dtype(spec.dtype))}
+    info.update(manifest or {})
+    with open(os.path.join(out_dir, "cyclegan_tpu_manifest.json"), "w") as f:
+        json.dump(info, f, indent=2, sort_keys=True)
+    return out_dir
+
+
 def run_export(cfg, out_path: str, *, semisupervised: bool = True,
                what: str = "segment", batch: int | str = "b",
-               platforms: Sequence[str] = DEFAULT_PLATFORMS) -> str:
+               platforms: Sequence[str] = DEFAULT_PLATFORMS,
+               fmt: str = "shlo") -> str:
     """CLI entry (``python -m cyclegan_tpu.main --export out.shlo ...``):
     restore the latest checkpoint for ``cfg`` and export the requested head.
 
@@ -94,6 +148,10 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
     ensemble, calibrate, threshold, or tile downstream), or ``generate``
     (label map -> synthesized image, the l2i GAN head; semi-supervised
     checkpoints only).
+
+    ``fmt``: ``shlo`` (self-contained jax.export blob — the
+    cyclegan_tpu.serve path) or ``savedmodel`` (TF SavedModel directory
+    for TF-Serving fleets; same natively-serialized StableHLO inside).
     """
     from cyclegan_tpu.train.checkpoint import restore_for_inference
 
@@ -104,24 +162,33 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
     if what in ("segment", "logits"):
         params = state.g_i2l if semisupervised else state.params
         fn = trainer.predict if what == "segment" else trainer.logits
-        exported = export_predictor(
-            fn, params, height=h, width=w, in_channels=in_ch,
-            batch=batch, platforms=platforms)
+        item_shape, item_dtype = (h, w, in_ch), jnp.float32
     elif what == "generate":
         if not semisupervised:
             raise ValueError("--export_what generate needs a semi-supervised "
                              "checkpoint (the l2i generator)")
-        spec = jax.ShapeDtypeStruct((_batch_dim(batch), h, w), jnp.int32)
-        exported = export_closed(trainer.generate_image, state.g_l2i, spec,
-                                 platforms)
+        fn, params = trainer.generate_image, state.g_l2i
+        item_shape, item_dtype = (h, w), jnp.int32
     else:
         raise ValueError(f"unknown export head {what!r}")
 
-    save_artifact(out_path, exported, manifest={
+    manifest = {
         "head": what, "dataset": cfg.dataset, "gen_net": cfg.gen_net,
         "num_classes": num_classes,
         "trained_steps": int(np.asarray(jax.device_get(state.step)).max()),
-    })
+    }
+    if fmt == "savedmodel":
+        spec = jax.ShapeDtypeStruct((1,) + item_shape, item_dtype)
+        export_savedmodel(fn, params, spec, out_path, batch=batch,
+                          platforms=platforms, manifest=manifest)
+        print(f"exported {what} head -> SavedModel {out_path} "
+              f"(platforms={list(platforms)}, batch={batch})", flush=True)
+        return out_path
+    if fmt != "shlo":
+        raise ValueError(f"unknown export format {fmt!r} (shlo|savedmodel)")
+    spec = jax.ShapeDtypeStruct((_batch_dim(batch),) + item_shape, item_dtype)
+    exported = export_closed(fn, params, spec, platforms)
+    save_artifact(out_path, exported, manifest=manifest)
     print(f"exported {what} head -> {out_path} "
           f"(platforms={list(platforms)}, batch={batch})", flush=True)
     return out_path

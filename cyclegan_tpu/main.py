@@ -43,6 +43,11 @@ def get_args(argv=None) -> argparse.Namespace:
                         "batch-polymorphic serving (default 'b')")
     p.add_argument("--export_platforms", type=str, default="cpu,tpu",
                    help="comma-separated lowering targets")
+    p.add_argument("--export_format", choices=["shlo", "savedmodel"],
+                   default="shlo",
+                   help="shlo = self-contained jax.export blob (the --serve "
+                        "path); savedmodel = TF SavedModel directory for "
+                        "TF-Serving fleets (same StableHLO inside)")
     p.add_argument("--serve", type=str, default=None, metavar="ARTIFACT",
                    help="run an exported .shlo artifact over a directory of "
                         "images (standalone — no checkpoint needed; see "
@@ -140,7 +145,8 @@ def main(argv=None) -> None:
             cfg, args.export, semisupervised=args.model == "semisupervised",
             what=args.export_what, batch=batch,
             platforms=tuple(s.strip() for s in args.export_platforms.split(",")
-                            if s.strip()))
+                            if s.strip()),
+            fmt=args.export_format)
     elif args.testing:
         runner.run_test(cfg, semisupervised=args.model == "semisupervised")
     elif args.training:
