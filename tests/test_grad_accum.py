@@ -169,6 +169,34 @@ def test_runner_grad_accum(tmp_path):
     assert list((tmp_path / "ckpt").iterdir())
 
 
+def test_accum_dp8_matches_single_device():
+    """accum_step sharded over an 8-device data mesh produces the same
+    losses as unsharded execution (XLA psums each microbatch's grads over
+    the mesh inside the scan; the accumulated mean is replicated)."""
+    from cyclegan_tpu.parallel import (
+        jit_step, make_mesh, replicate_state, select_step, shard_batch)
+
+    cfg = _cfg(batch_size=8)
+    tr = CycleGANTrainer(cfg, 5, 3, 4)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    ms = _microbatches(2, b=8)
+    stackb = _stack(ms)
+
+    s1, m1 = jax.jit(tr.accum_step)(state, stackb)
+
+    mesh = make_mesh(8)
+    state8 = replicate_state(state, mesh)
+    batch8 = shard_batch(jax.tree.map(np.asarray, stackb), mesh,
+                         leading_stack=True)
+    step = jit_step(select_step(tr, 1, 2), donate_state=False)
+    s8, m8 = step(state8, batch8)
+    for key in m1:
+        np.testing.assert_allclose(float(m8[key]), float(m1[key]),
+                                   rtol=5e-5, err_msg=key)
+    np.testing.assert_allclose(_flat(s8.g_i2l), _flat(s1.g_i2l),
+                               atol=3 * cfg.lr)
+
+
 def test_runner_rejects_both_stacks(tmp_path):
     from cyclegan_tpu.train.runner import run_cyclegan
 
