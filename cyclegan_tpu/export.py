@@ -86,28 +86,39 @@ def load_artifact(path: str):
 QUANT_MIN_SIZE = 4096  # leaves smaller than this stay fp32 (biases, norms)
 
 
-def quantize_weights(params: Any, *, min_size: int = QUANT_MIN_SIZE) -> Any:
-    """Weight-only int8 quantization for serving artifacts.
+def quantize_weights(params: Any, *, min_size: int = QUANT_MIN_SIZE,
+                     mode: str = "int8") -> Any:
+    """Weight-only quantization for serving artifacts.
 
-    Symmetric per-output-channel quantization of the large (>= ``min_size``
-    elements, rank >= 2) float leaves — the conv / conv-transpose kernels
-    that dominate artifact size and serving-time HBM weight traffic. Small
-    leaves (biases, norm scales/offsets) stay fp32: they are numerically
-    sensitive and contribute nothing to size. Quantized leaves become
-    ``{"__q8__": int8 array, "scale": (cout,) fp32}`` subtrees that
-    :func:`dequantize_weights` folds back.
+    ``mode="int8"``: symmetric per-output-channel int8 of the large
+    (>= ``min_size`` elements, rank >= 2) float leaves — the conv /
+    conv-transpose kernels that dominate artifact size and serving-time HBM
+    weight traffic. Quantized leaves become ``{"__q8__": int8 array,
+    "scale": (cout,) fp32}`` subtrees. ~4x smaller; <=scale/2 per-weight
+    rounding.
 
-    This is weight-ONLY quantization: compute still runs in the model's
-    float dtype after an on-the-fly dequant (cheap elementwise multiply per
-    weight read). Artifact bytes and weight bandwidth shrink ~4x; the math
-    changes only by the <=1/254 per-weight rounding, asserted small in
-    tests/test_export_quantized.py.
+    ``mode="bf16"``: the same leaves stored as bfloat16 (``{"__bf16__":
+    array}``). ~2x smaller; relative error <= 2^-9 per weight (bf16 keeps
+    fp32's exponent) — the conservative choice when int8's rounding is a
+    concern.
+
+    Either way, small leaves (biases, norm scales/offsets) stay fp32: they
+    are numerically sensitive and contribute nothing to size, and
+    :func:`dequantize_weights` folds the wrapped subtrees back. This is
+    weight-ONLY quantization: compute still runs in the model's float dtype
+    after an on-the-fly dequant (cheap elementwise op per weight read).
+    Error/size/serving bounds asserted in tests/test_export_quantized.py.
     """
+    if mode not in ("int8", "bf16"):
+        raise ValueError(f"unknown quantization mode {mode!r} (int8|bf16)")
+
     def q(leaf):
         x = np.asarray(leaf)
         if (x.ndim < 2 or x.size < min_size
                 or not np.issubdtype(x.dtype, np.floating)):
             return leaf
+        if mode == "bf16":
+            return {"__bf16__": np.asarray(jnp.asarray(x, jnp.bfloat16))}
         flat = x.reshape(-1, x.shape[-1]).astype(np.float64)
         scale = np.max(np.abs(flat), axis=0) / 127.0
         scale = np.where(scale == 0.0, 1.0, scale)
@@ -117,25 +128,31 @@ def quantize_weights(params: Any, *, min_size: int = QUANT_MIN_SIZE) -> Any:
     return jax.tree.map(q, jax.device_get(params))
 
 
-def _is_q8(node) -> bool:
-    return isinstance(node, dict) and "__q8__" in node
+def _is_quantized(node) -> bool:
+    return isinstance(node, dict) and ("__q8__" in node or "__bf16__" in node)
 
 
 # Staged (jitted) so that tracing dequantize_weights under jax.export keeps
-# the int8 arrays as module constants with the upcast+scale as ops — an
-# eager numpy multiply would constant-fold back to fp32 constants and the
+# the int8/bf16 arrays as module constants with the upcast(+scale) as ops —
+# an eager numpy op would constant-fold back to fp32 constants and the
 # artifact would not shrink (verified: 591 KB folded vs 150 KB staged for a
 # 3x3x128x128 kernel).
-_deq_leaf = jax.jit(lambda q, s: jnp.asarray(q, jnp.float32) * s)
+_deq_q8 = jax.jit(lambda q, s: jnp.asarray(q, jnp.float32) * s)
+_deq_bf16 = jax.jit(lambda q: jnp.asarray(q, jnp.float32))
 
 
 def dequantize_weights(qparams: Any):
     """Inverse of :func:`quantize_weights`; jit-safe (runs inside the
-    exported module, so the artifact carries int8 constants and upcasts at
-    call time)."""
-    return jax.tree.map(
-        lambda n: _deq_leaf(n["__q8__"], n["scale"]) if _is_q8(n) else n,
-        qparams, is_leaf=_is_q8)
+    exported module, so the artifact carries quantized constants and
+    upcasts at call time)."""
+    def deq(n):
+        if not _is_quantized(n):
+            return n
+        if "__bf16__" in n:
+            return _deq_bf16(n["__bf16__"])
+        return _deq_q8(n["__q8__"], n["scale"])
+
+    return jax.tree.map(deq, qparams, is_leaf=_is_quantized)
 
 
 def export_savedmodel(fn, params: Any, spec: jax.ShapeDtypeStruct,
@@ -209,8 +226,9 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
     for TF-Serving fleets; same natively-serialized StableHLO inside).
 
     ``quantize``: ``int8`` embeds the conv kernels as int8 + per-channel
-    scales (weight-only — :func:`quantize_weights`): ~4x smaller artifact,
-    same serving interface.
+    scales (~4x smaller artifact), ``bf16`` as bfloat16 (~2x smaller,
+    tighter error bound); weight-only either way
+    (:func:`quantize_weights`), same serving interface.
     """
     from cyclegan_tpu.train.checkpoint import restore_for_inference
 
@@ -237,12 +255,10 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
         "trained_steps": int(np.asarray(jax.device_get(state.step)).max()),
     }
     if quantize:
-        if quantize != "int8":
-            raise ValueError(f"unknown quantization {quantize!r} (int8)")
-        params = quantize_weights(params)
+        params = quantize_weights(params, mode=quantize)  # validates mode
         inner = fn
         fn = lambda p, x: inner(dequantize_weights(p), x)  # noqa: E731
-        manifest["quantize"] = "int8_weight_only"
+        manifest["quantize"] = f"{quantize}_weight_only"
     if fmt == "savedmodel":
         spec = jax.ShapeDtypeStruct((1,) + item_shape, item_dtype)
         export_savedmodel(fn, params, spec, out_path, batch=batch,

@@ -43,10 +43,12 @@ def get_args(argv=None) -> argparse.Namespace:
                         "batch-polymorphic serving (default 'b')")
     p.add_argument("--export_platforms", type=str, default="cpu,tpu",
                    help="comma-separated lowering targets")
-    p.add_argument("--export_quantize", choices=["int8"], default=None,
-                   help="weight-only int8 quantization of the exported "
-                        "artifact (~4x smaller; per-channel scales, "
-                        "on-the-fly dequant)")
+    p.add_argument("--export_quantize", choices=["int8", "bf16"],
+                   default=None,
+                   help="weight-only quantization of the exported artifact: "
+                        "int8 = per-channel scales, ~4x smaller; bf16 = "
+                        "~2x smaller with a tighter error bound; both "
+                        "dequantize on the fly inside the module")
     p.add_argument("--export_format", choices=["shlo", "savedmodel"],
                    default="shlo",
                    help="shlo = self-contained jax.export blob (the --serve "
@@ -72,6 +74,10 @@ def get_args(argv=None) -> argparse.Namespace:
                         "canvas and slide the artifact's window over it "
                         "with logit averaging (needs --export_what logits)")
     p.add_argument("--serve_canvas_width", type=int, default=None)
+    p.add_argument("--serve_dp", action="store_true",
+                   help="shard each serving batch over all local devices "
+                        "(data-parallel SPMD inference; ragged batches are "
+                        "padded to a device multiple)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu, tpu) — needed because "
                         "this environment's sitecustomize overrides JAX_PLATFORMS")
@@ -139,7 +145,8 @@ def main(argv=None) -> None:
             args.serve, args.serve_input,
             args.serve_output or cfg.results_dir,
             batch_size=args.serve_batch, gt_dir=args.serve_gt,
-            eval_resize=resize, canvas_hw=canvas)
+            eval_resize=resize, canvas_hw=canvas,
+            data_parallel=args.serve_dp)
     elif args.export:
         from cyclegan_tpu import export as export_lib
 

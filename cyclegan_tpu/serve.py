@@ -89,7 +89,8 @@ def _chunks(seq: list, n: int) -> Iterable[list]:
 def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
               batch_size: int = 8, gt_dir: str | None = None,
               eval_resize: str = "resize",
-              canvas_hw: tuple[int, int] | None = None) -> dict:
+              canvas_hw: tuple[int, int] | None = None,
+              data_parallel: bool = False) -> dict:
     """Run the segment (or logits) head of an exported artifact over
     ``input_dir``.
 
@@ -102,6 +103,12 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     50% overlap, averaging logits (cyclegan_tpu.eval_tile; windows ride
     the artifact's batch-polymorphic dim). Requires a ``logits``-head
     artifact (``--export_what logits``): argmax heads can't be averaged.
+
+    ``data_parallel``: shard each serving batch over ALL local devices
+    (1-axis ``jax.sharding.Mesh``; the exported module compiles SPMD via
+    sharding propagation — batchwise ops need no collectives). Ragged
+    batches are zero-padded to a device multiple and the padding dropped.
+    One process only; multi-host serving is a fleet of independent hosts.
     """
     from PIL import Image
 
@@ -159,6 +166,22 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     else:
         predict_batch = call
         load_hw = (h, w)
+
+    if data_parallel and len(jax.devices()) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+        shard = NamedSharding(mesh, PartitionSpec("dp"))
+        n_dev = len(jax.devices())
+        inner = predict_batch
+
+        def predict_batch(x):  # noqa: F811 — DP wrapper over the same fn
+            b = x.shape[0]
+            pad = (-b) % n_dev
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            return inner(jax.device_put(x, shard))[:b]
 
     names = _list_images(input_dir)
     os.makedirs(output_dir, exist_ok=True)

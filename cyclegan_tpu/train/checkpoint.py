@@ -129,10 +129,16 @@ class CheckpointManager:
         self._mngr.close()
 
 
-def restore_for_inference(cfg, *, semisupervised: bool):
+def restore_for_inference(cfg, *, semisupervised: bool,
+                          num_classes: int | None = None,
+                          in_channels: int | None = None):
     """Build the trainer for ``cfg`` and restore its latest epoch checkpoint
     — the shared entry for every post-training consumer (``--testing``
     in runner.run_test, ``--export`` in export.run_export).
+
+    ``num_classes`` / ``in_channels`` override the dataset spec's values
+    (for checkpoints trained at non-default class counts, e.g. the torch
+    export tool's ``--num_classes``).
 
     Returns ``(trainer, state, num_classes, in_channels)``; raises
     FileNotFoundError when no checkpoint exists under cfg.checkpoint_dir.
@@ -141,7 +147,9 @@ def restore_for_inference(cfg, *, semisupervised: bool):
     from cyclegan_tpu.train.cyclegan import CycleGANTrainer
     from cyclegan_tpu.train.supervised import SupervisedTrainer
 
-    num_classes, in_ch, _ = DATASET_SPECS[cfg.dataset]
+    spec_nc, spec_ic, _ = DATASET_SPECS[cfg.dataset]
+    num_classes = num_classes or spec_nc
+    in_ch = in_channels or spec_ic
     cls = CycleGANTrainer if semisupervised else SupervisedTrainer
     trainer = cls(cfg, num_classes, in_ch, steps_per_epoch=1)
     mngr = CheckpointManager(cfg.checkpoint_dir)

@@ -95,6 +95,71 @@ def test_quantized_artifact_smaller_and_accurate(tmp_path):
     assert agree > 0.95, agree
 
 
+def test_bf16_mode_size_and_error(tmp_path):
+    """mode='bf16': ~2x smaller artifact, error bounded by bf16 rounding
+    (relative 2^-8 — bf16 keeps fp32's exponent, 8 total mantissa bits)."""
+    import pytest
+    _, trainer, state = _setup(tmp_path)
+    q = export_lib.quantize_weights(state.g_i2l, mode="bf16")
+    deq = export_lib.dequantize_weights(q)
+    n_quantized = 0
+    for orig, back in zip(jax.tree.leaves(state.g_i2l),
+                          jax.tree.leaves(jax.tree.map(np.asarray, deq))):
+        orig, back = np.asarray(orig), np.asarray(back)
+        err = np.abs(orig - back)
+        if err.max() > 0:
+            n_quantized += 1
+        assert (err <= np.abs(orig) * 2.0**-8 + 1e-12).all()
+    assert n_quantized >= 10
+
+    spec = jax.ShapeDtypeStruct(
+        (export_lib._batch_dim("b"), H, W, IN_CH), jnp.float32)
+    full = export_lib.export_closed(trainer.logits, state.g_i2l, spec,
+                                    platforms=("cpu",))
+    quant = export_lib.export_closed(
+        lambda p, x: trainer.logits(export_lib.dequantize_weights(p), x),
+        q, spec, platforms=("cpu",))
+    size_full, size_q = len(full.serialize()), len(quant.serialize())
+    assert size_q < size_full / 1.6, (size_full, size_q)
+
+    with pytest.raises(ValueError, match="unknown quantization"):
+        export_lib.quantize_weights(state.g_i2l, mode="fp4")
+
+
+def test_savedmodel_quantized_export(tmp_path):
+    """--export_format savedmodel composes with --export_quantize: the
+    TF-Serving container carries the quantized module and its predictions
+    track the live fp32 predictor."""
+    import pytest
+    tf = pytest.importorskip("tensorflow")
+    from cyclegan_tpu.main import main as cli_main
+
+    cfg, trainer, state = _setup(tmp_path)
+    mngr = CheckpointManager(cfg.checkpoint_dir)
+    mngr.save(0, jax.device_get(state))
+    mngr.wait()
+    mngr.close()
+
+    out_dir = str(tmp_path / "sm_q8")
+    cli_main(["--export", out_dir, "--export_format", "savedmodel",
+              "--export_quantize", "int8", "--export_platforms", "cpu",
+              "--dataset", "synthetic", "--gen_net", "resnet_6blocks",
+              "--ngf", "16", "--ndf", "8", "--no_bf16",
+              "--crop_height", str(H), "--crop_width", str(W),
+              "--pool_size", "2", "--platform", "cpu",
+              "--checkpoint_dir", cfg.checkpoint_dir,
+              "--results_dir", cfg.results_dir])
+    with open(os.path.join(out_dir, "cyclegan_tpu_manifest.json")) as f:
+        assert json.load(f)["quantize"] == "int8_weight_only"
+
+    serve = tf.saved_model.load(out_dir).signatures["serving_default"]
+    x = _image(2)
+    (got,) = serve(input=tf.constant(x)).values()
+    ref = np.asarray(jax.jit(trainer.predict)(state.g_i2l, x))
+    agree = np.mean(np.asarray(got) == ref)
+    assert agree > 0.95, agree  # untrained-net worst case, see above
+
+
 def test_cli_quantized_export_serves(tmp_path):
     """--export_quantize int8 through the CLI; the standalone server
     consumes the quantized artifact unchanged."""

@@ -186,6 +186,33 @@ def test_serve_rejects_duplicate_stems_and_tile(artifact, tmp_path):
                             eval_resize="tile")
 
 
+def test_dp_serving_matches_single_device(artifact, image_dir, tmp_path):
+    """data_parallel=True shards each batch over the 8 virtual devices
+    (conftest mesh) and must be bit-identical to single-device serving —
+    including the ragged final batch (5 images, batch 8 -> pad 3)."""
+    path, _, _ = artifact
+    assert len(jax.devices()) > 1  # conftest provides the 8-device host
+    out_1 = str(tmp_path / "single")
+    out_dp = str(tmp_path / "dp")
+    serve_lib.run_serve(path, image_dir, out_1, batch_size=8)
+    res = serve_lib.run_serve(path, image_dir, out_dp, batch_size=8,
+                              data_parallel=True)
+    assert res["images"] == N_IMAGES
+    for i in range(N_IMAGES):
+        a = np.asarray(Image.open(os.path.join(out_1, f"img_{i:02d}_pred.png")))
+        b = np.asarray(Image.open(os.path.join(out_dp, f"img_{i:02d}_pred.png")))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_dp_serving_cli(artifact, image_dir, tmp_path):
+    path, _, _ = artifact
+    out = str(tmp_path / "cli_dp")
+    cli_main(["--serve", path, "--serve_input", image_dir,
+              "--serve_output", out, "--serve_batch", "8", "--serve_dp",
+              "--platform", "cpu"])
+    assert len(os.listdir(out)) == N_IMAGES
+
+
 def test_serve_rejects_generate_head(artifact, image_dir, tmp_path):
     path, trainer, state = artifact
     spec = jax.ShapeDtypeStruct((2, H, W), jnp.int32)

@@ -204,7 +204,13 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--epoch", type=int, default=None,
                     help="override the epoch stored in the checkpoint")
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform (default cpu: this is a host-side "
+                         "migration tool; the env's sitecustomize would "
+                         "otherwise route jax at the flaky TPU tunnel)")
     args = ap.parse_args()
+
+    jax.config.update("jax_platforms", args.platform)
 
     import torch
 
