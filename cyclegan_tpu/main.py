@@ -78,6 +78,10 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="shard each serving batch over all local devices "
                         "(data-parallel SPMD inference; ragged batches are "
                         "padded to a device multiple)")
+    p.add_argument("--serve_flip", action="store_true",
+                   help="horizontal-flip TTA at serving: average each "
+                        "image's logits with its mirror's (needs a "
+                        "logits-head artifact; --eval_flip true implies it)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu, tpu) — needed because "
                         "this environment's sitecustomize overrides JAX_PLATFORMS")
@@ -146,7 +150,8 @@ def main(argv=None) -> None:
             args.serve_output or cfg.results_dir,
             batch_size=args.serve_batch, gt_dir=args.serve_gt,
             eval_resize=resize, canvas_hw=canvas,
-            data_parallel=args.serve_dp)
+            data_parallel=args.serve_dp,
+            flip=args.serve_flip or cfg.eval_flip)
     elif args.export:
         from cyclegan_tpu import export as export_lib
 

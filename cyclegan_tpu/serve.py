@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Iterable
 
 import jax
@@ -90,7 +91,7 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
               batch_size: int = 8, gt_dir: str | None = None,
               eval_resize: str = "resize",
               canvas_hw: tuple[int, int] | None = None,
-              data_parallel: bool = False) -> dict:
+              data_parallel: bool = False, flip: bool = False) -> dict:
     """Run the segment (or logits) head of an exported artifact over
     ``input_dir``.
 
@@ -109,6 +110,12 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     sharding propagation — batchwise ops need no collectives). Ragged
     batches are zero-padded to a device multiple and the padding dropped.
     One process only; multi-host serving is a fleet of independent hosts.
+
+    ``flip``: horizontal-flip TTA (cyclegan_tpu.tta) — average each
+    image's logits with the mirrored logits of its flip before the
+    argmax. Requires a ``logits``-head artifact (argmax heads can't be
+    averaged); composes with ``canvas_hw`` (the flip wraps the whole
+    tiled canvas) and ``data_parallel``.
     """
     from PIL import Image
 
@@ -136,6 +143,11 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     num_classes = int(manifest.get("num_classes", 21))
 
     call = jax.jit(exported.call)
+    if flip and head != "logits":
+        raise ValueError(
+            "--serve_flip averages LOGITS of the image and its mirror; "
+            "export with --export_what logits (this artifact's head is "
+            f"{head!r})")
     if canvas_hw is not None:
         if head != "logits":
             raise ValueError(
@@ -151,21 +163,29 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
             raise ValueError(f"serve canvas {ch}x{cw} smaller than the "
                              f"artifact window {h}x{w}")
 
-        def _tiled_argmax(x):
-            return jnp.argmax(
-                tiled_logits(lambda _, wins: call(wins), None, x, (h, w)),
-                axis=-1)
+        def batch_logits(_, x):
+            return tiled_logits(lambda _p, wins: call(wins), None, x, (h, w))
 
-        predict_batch = jax.jit(_tiled_argmax)
         load_hw = (ch, cw)
     elif head == "logits":
         import jax.numpy as jnp
 
-        predict_batch = jax.jit(lambda x: jnp.argmax(call(x), axis=-1))
+        def batch_logits(_, x):
+            return call(x)
+
         load_hw = (h, w)
     else:
+        batch_logits = None
         predict_batch = call
         load_hw = (h, w)
+    if batch_logits is not None:
+        if flip:
+            from cyclegan_tpu.tta import flip_avg
+
+            batch_logits = flip_avg(batch_logits)
+        logits_fn = batch_logits
+        predict_batch = jax.jit(
+            lambda x: jnp.argmax(logits_fn(None, x), axis=-1))
 
     if data_parallel and len(jax.devices()) > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
@@ -187,6 +207,7 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     os.makedirs(output_dir, exist_ok=True)
     hist = None
     scored = 0
+    t0 = time.perf_counter()
     for chunk in _chunks(names, max(batch_size, 1)):
         batch = np.stack([
             _load_image(os.path.join(input_dir, n), load_hw, c, eval_resize)
@@ -207,8 +228,13 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
             hist = hh if hist is None else hist + hh
             scored += 1
 
+    elapsed = time.perf_counter() - t0
     out = {"images": len(names), "scored": scored,
-           "output_dir": os.path.abspath(output_dir)}
+           "output_dir": os.path.abspath(output_dir),
+           # End-to-end serving rate (decode + predict + colorize + write;
+           # includes the first batch's compile — long runs amortize it).
+           "elapsed_s": round(elapsed, 3),
+           "img_per_s": round(len(names) / elapsed, 3) if elapsed else None}
     if hist is not None:
         s = metrics_lib.scores(hist)
         out.update({k: float(v) for k, v in s.items() if np.ndim(v) == 0})

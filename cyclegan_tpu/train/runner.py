@@ -146,7 +146,10 @@ def _aligned_jit(fn_jit, barrier_name: str):
 
 
 def _make_eval_fns(cfg: Config, trainer):
-    """(eval_step_jit, predict_jit) honoring ``--eval_resize tile``.
+    """(eval_step_jit, predict_jit) honoring ``--eval_resize tile`` and
+    ``--eval_flip`` (horizontal-flip TTA — cyclegan_tpu.tta; the flip
+    wraps the WHOLE canvas-level logits fn, so under tile mode the
+    mirrored pass re-tiles the flipped canvas, the standard convention).
 
     The eval program (called by every process) goes through _aligned_jit;
     predict stays a plain jit — it is primary-only in sample dumps, and a
@@ -154,13 +157,30 @@ def _make_eval_fns(cfg: Config, trainer):
     if cfg.eval_resize == "tile":
         from cyclegan_tpu import eval_tile
 
-        eval_fn = jax.jit(lambda params, batch: eval_tile.tiled_eval_step(
-            trainer, params, batch, cfg.crop_hw))
-        predict = jax.jit(lambda params, image: eval_tile.tiled_predict(
-            trainer, params, image, cfg.crop_hw))
+        def canvas_logits(params, image):
+            return eval_tile.tiled_logits(
+                trainer.logits, params, image, cfg.crop_hw)
     else:
+        canvas_logits = None
+    if getattr(cfg, "eval_flip", False):
+        from cyclegan_tpu import tta
+
+        canvas_logits = tta.flip_avg(canvas_logits or trainer.logits)
+    if canvas_logits is None:
+        # Plain single-forward eval: the trainers' own step (bit-identical
+        # to every pre-TTA golden/parity artifact).
         eval_fn = jax.jit(trainer.eval_step)
         predict = jax.jit(trainer.predict)
+    else:
+        def _eval(params, batch):
+            pred = jnp.argmax(canvas_logits(params, batch["image"]), axis=-1)
+            return metrics_lib.confusion_matrix(
+                pred, batch["label"], trainer.num_classes,
+                ignore_index=trainer.ignore_index)
+
+        eval_fn = jax.jit(_eval)
+        predict = jax.jit(lambda params, image: jnp.argmax(
+            canvas_logits(params, image), axis=-1))
     return _aligned_jit(eval_fn, "eval_exec"), predict
 
 

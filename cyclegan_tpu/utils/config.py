@@ -64,6 +64,11 @@ class Config:
     # (cyclegan_tpu.eval_tile — beyond the reference, for scoring
     # high-resolution corpora with a crop-trained net).
     eval_resize: str = "resize"
+    # Horizontal-flip test-time augmentation (beyond the reference):
+    # validation/--testing logits are averaged with the mirrored logits of
+    # the flipped image before the argmax (cyclegan_tpu.tta). Composes
+    # with eval_resize=tile. 2x eval compute.
+    eval_flip: bool = False
     dataset_size: int | None = None   # subset (e.g. 100-image VOC config 1)
 
     # precision / parallelism
