@@ -82,6 +82,10 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="horizontal-flip TTA at serving: average each "
                         "image's logits with its mirror's (needs a "
                         "logits-head artifact; --eval_flip true implies it)")
+    p.add_argument("--serve_scales", type=str, default=None,
+                   help="multi-scale TTA at serving, e.g. '0.75,1.0,1.25' "
+                        "(needs tiled serving: --serve_canvas_height/width "
+                        "+ a logits-head artifact; --eval_scales implies it)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu, tpu) — needed because "
                         "this environment's sitecustomize overrides JAX_PLATFORMS")
@@ -98,7 +102,7 @@ def get_args(argv=None) -> argparse.Namespace:
             f.type if isinstance(f.type, type) else type(getattr(defaults, f.name)))
         if arg_type is None and getattr(defaults, f.name) is None:
             arg_type = {"data_root": str, "profile_dir": str,
-                        "coordinator_address": str,
+                        "coordinator_address": str, "eval_scales": str,
                         "lamda_lab": float}.get(f.name, int)
         if isinstance(getattr(defaults, f.name), bool):
             p.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true"),
@@ -145,13 +149,16 @@ def main(argv=None) -> None:
         # the image-load convention on the canvas is a plain resize.
         resize = "resize" if (cfg.eval_resize == "tile" and canvas) \
             else cfg.eval_resize
+        from cyclegan_tpu.tta import parse_scales
+
         serve_lib.run_serve(
             args.serve, args.serve_input,
             args.serve_output or cfg.results_dir,
             batch_size=args.serve_batch, gt_dir=args.serve_gt,
             eval_resize=resize, canvas_hw=canvas,
             data_parallel=args.serve_dp,
-            flip=args.serve_flip or cfg.eval_flip)
+            flip=args.serve_flip or cfg.eval_flip,
+            scales=parse_scales(args.serve_scales or cfg.eval_scales))
     elif args.export:
         from cyclegan_tpu import export as export_lib
 

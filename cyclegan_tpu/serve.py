@@ -91,7 +91,8 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
               batch_size: int = 8, gt_dir: str | None = None,
               eval_resize: str = "resize",
               canvas_hw: tuple[int, int] | None = None,
-              data_parallel: bool = False, flip: bool = False) -> dict:
+              data_parallel: bool = False, flip: bool = False,
+              scales: tuple[float, ...] | None = None) -> dict:
     """Run the segment (or logits) head of an exported artifact over
     ``input_dir``.
 
@@ -116,6 +117,12 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     argmax. Requires a ``logits``-head artifact (argmax heads can't be
     averaged); composes with ``canvas_hw`` (the flip wraps the whole
     tiled canvas) and ``data_parallel``.
+
+    ``scales``: multi-scale TTA (tta.scale_avg) — logits at each canvas
+    scale resized back and averaged. Requires ``canvas_hw`` (tiled)
+    serving: the artifact's window is fixed-shape, so only re-tiling a
+    rescaled canvas can feed it; every scaled canvas must stay >= the
+    window. Composes with ``flip`` (average over scales x mirror).
     """
     from PIL import Image
 
@@ -148,6 +155,12 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
             "--serve_flip averages LOGITS of the image and its mirror; "
             "export with --export_what logits (this artifact's head is "
             f"{head!r})")
+    if scales and canvas_hw is None:
+        raise ValueError(
+            "--serve_scales needs tiled serving (--serve_canvas_height/"
+            "--serve_canvas_width + a logits-head artifact): the "
+            "artifact's window is fixed-shape, so multi-scale works by "
+            "re-tiling rescaled canvases")
     if canvas_hw is not None:
         if head != "logits":
             raise ValueError(
@@ -183,6 +196,19 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
             from cyclegan_tpu.tta import flip_avg
 
             batch_logits = flip_avg(batch_logits)
+        if scales:
+            from cyclegan_tpu.tta import scale_avg
+
+            for s in scales:
+                ch, cw = canvas_hw
+                sh, sw = max(round(ch * s / 4) * 4, 4), \
+                    max(round(cw * s / 4) * 4, 4)
+                if sh < h or sw < w:
+                    raise ValueError(
+                        f"scale {s} shrinks the canvas {ch}x{cw} to "
+                        f"{sh}x{sw}, smaller than the artifact window "
+                        f"{h}x{w}")
+            batch_logits = scale_avg(batch_logits, tuple(scales))
         logits_fn = batch_logits
         predict_batch = jax.jit(
             lambda x: jnp.argmax(logits_fn(None, x), axis=-1))

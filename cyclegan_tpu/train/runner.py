@@ -146,14 +146,17 @@ def _aligned_jit(fn_jit, barrier_name: str):
 
 
 def _make_eval_fns(cfg: Config, trainer):
-    """(eval_step_jit, predict_jit) honoring ``--eval_resize tile`` and
-    ``--eval_flip`` (horizontal-flip TTA — cyclegan_tpu.tta; the flip
-    wraps the WHOLE canvas-level logits fn, so under tile mode the
-    mirrored pass re-tiles the flipped canvas, the standard convention).
+    """(eval_step_jit, predict_jit) honoring ``--eval_resize tile``,
+    ``--eval_flip`` and ``--eval_scales`` (TTA — cyclegan_tpu.tta; flip
+    and scaling wrap the WHOLE canvas-level logits fn, so under tile mode
+    the mirrored/rescaled pass re-tiles its canvas, the standard
+    convention; flip wraps inside scaling = average over scales x mirror).
 
     The eval program (called by every process) goes through _aligned_jit;
     predict stays a plain jit — it is primary-only in sample dumps, and a
     barrier inside it would hang."""
+    from cyclegan_tpu import tta
+
     if cfg.eval_resize == "tile":
         from cyclegan_tpu import eval_tile
 
@@ -163,9 +166,11 @@ def _make_eval_fns(cfg: Config, trainer):
     else:
         canvas_logits = None
     if getattr(cfg, "eval_flip", False):
-        from cyclegan_tpu import tta
-
         canvas_logits = tta.flip_avg(canvas_logits or trainer.logits)
+    scales = tta.parse_scales(getattr(cfg, "eval_scales", None))
+    if scales:
+        canvas_logits = tta.scale_avg(canvas_logits or trainer.logits,
+                                      scales)
     if canvas_logits is None:
         # Plain single-forward eval: the trainers' own step (bit-identical
         # to every pre-TTA golden/parity artifact).

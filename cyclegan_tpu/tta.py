@@ -40,3 +40,48 @@ def flip_avg(logits_fn: LogitsFn) -> LogitsFn:
                       + mirrored.astype(jnp.float32))
 
     return fn
+
+
+def parse_scales(spec: str | None) -> tuple[float, ...] | None:
+    """``"0.75,1.0,1.25"`` -> (0.75, 1.0, 1.25); None/empty -> None."""
+    if not spec:
+        return None
+    scales = tuple(float(s) for s in str(spec).split(",") if s.strip())
+    if not scales or any(s <= 0 for s in scales):
+        raise ValueError(f"bad eval_scales {spec!r} (comma-separated "
+                         f"positive floats, e.g. '0.75,1.0,1.25')")
+    return scales
+
+
+def scale_avg(logits_fn: LogitsFn, scales: tuple[float, ...], *,
+              snap: int = 4) -> LogitsFn:
+    """Multi-scale TTA: run ``logits_fn`` at each image scale, bilinearly
+    resize the logits back to the native grid, and average (f32) — the
+    standard segmentation eval protocol (PSPNet/DeepLab-style), composing
+    with :func:`flip_avg` (wrap flip first: each scale is then
+    flip-averaged, i.e. the average runs over scales x {id, mirror}).
+
+    Scaled dims snap to multiples of ``snap`` (default 4 — the ResNet
+    generators' down/upsample pair only round-trips /4 shapes; tile-mode
+    canvases only need to stay >= the crop window). Every scale is a
+    STATIC shape, so each compiles once into the same jitted eval program.
+    """
+    if not scales:
+        raise ValueError("scale_avg needs at least one scale")
+
+    def fn(params: Any, images: jax.Array) -> jax.Array:
+        b, h, w, c = images.shape
+        acc = None
+        for s in scales:
+            hs = max(int(round(h * s / snap)) * snap, snap)
+            ws = max(int(round(w * s / snap)) * snap, snap)
+            if (hs, ws) == (h, w):
+                lo = logits_fn(params, images).astype(jnp.float32)
+            else:
+                xs = jax.image.resize(images, (b, hs, ws, c), "linear")
+                lo = logits_fn(params, xs).astype(jnp.float32)
+                lo = jax.image.resize(lo, (b, h, w, lo.shape[-1]), "linear")
+            acc = lo if acc is None else acc + lo
+        return acc / len(scales)
+
+    return fn

@@ -69,6 +69,12 @@ class Config:
     # the flipped image before the argmax (cyclegan_tpu.tta). Composes
     # with eval_resize=tile. 2x eval compute.
     eval_flip: bool = False
+    # Multi-scale TTA (beyond the reference): comma-separated scales, e.g.
+    # "0.75,1.0,1.25" — logits computed at each scale are resized back and
+    # averaged (the PSPNet/DeepLab eval protocol; cyclegan_tpu.tta
+    # .scale_avg). Composes with eval_flip (average over scales x mirror)
+    # and eval_resize=tile. None = off.
+    eval_scales: str | None = None
     dataset_size: int | None = None   # subset (e.g. 100-image VOC config 1)
 
     # precision / parallelism

@@ -155,6 +155,95 @@ def test_serve_flip_matches_live(setup, tmp_path):
         serve_lib.run_serve(seg_path, str(img_dir), out, flip=True)
 
 
+def test_parse_scales():
+    assert tta.parse_scales(None) is None
+    assert tta.parse_scales("") is None
+    assert tta.parse_scales("0.75,1.0,1.25") == (0.75, 1.0, 1.25)
+    with pytest.raises(ValueError, match="eval_scales"):
+        tta.parse_scales("1.0,-2")
+
+
+def test_scale_avg_math(setup):
+    """scale_avg == mean over scales of resize-run-resize-back, snapped to
+    /4 dims, on the real generator."""
+    _, trainer, state = setup
+    scales = (0.5, 1.0, 1.5)
+    fn = tta.scale_avg(trainer.logits, scales)
+    x = jnp.asarray(_images(2))
+    got = np.asarray(fn(state.g_i2l, x))
+
+    acc = np.zeros((2, H, W, NUM_CLASSES), np.float32)
+    for s in scales:
+        hs = max(round(H * s / 4) * 4, 4)
+        ws = max(round(W * s / 4) * 4, 4)
+        if (hs, ws) == (H, W):
+            acc += np.asarray(trainer.logits(state.g_i2l, x))
+        else:
+            xs = jax.image.resize(x, (2, hs, ws, IN_CH), "linear")
+            lo = trainer.logits(state.g_i2l, xs).astype(jnp.float32)
+            acc += np.asarray(jax.image.resize(
+                lo, (2, H, W, NUM_CLASSES), "linear"))
+    np.testing.assert_allclose(got, acc / len(scales), atol=1e-5)
+
+
+def test_runner_eval_scales_with_flip(setup):
+    """--eval_scales + --eval_flip: runner predict == argmax of
+    scale_avg(flip_avg(logits)) — average over scales x mirror."""
+    cfg, trainer, state = setup
+    _, predict = runner._make_eval_fns(
+        cfg.replace(eval_flip=True, eval_scales="0.5,1.0"), trainer)
+    x = jnp.asarray(_images(2))
+    manual_fn = tta.scale_avg(tta.flip_avg(trainer.logits), (0.5, 1.0))
+    manual = np.argmax(np.asarray(manual_fn(state.g_i2l, x)), axis=-1)
+    np.testing.assert_array_equal(np.asarray(predict(state.g_i2l, x)), manual)
+
+
+def test_serve_scales_tiled(setup, tmp_path):
+    """Tiled serving + scales bit-matches the live scale-averaged tiled
+    predictor; scales without a canvas are rejected."""
+    from cyclegan_tpu.eval_tile import tiled_logits
+
+    _, trainer, state = setup
+    exported = export_lib.export_predictor(
+        trainer.logits, state.g_i2l, height=H, width=W, in_channels=IN_CH,
+        platforms=("cpu",))
+    path = str(tmp_path / "logits.shlo")
+    export_lib.save_artifact(path, exported, manifest={
+        "head": "logits", "num_classes": NUM_CLASSES})
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 256, (50, 60, 3), np.uint8)).save(
+            img_dir / f"im{i}.png")
+
+    canvas, scales = (32, 40), (1.0, 1.25)
+    out = str(tmp_path / "preds")
+    res = serve_lib.run_serve(path, str(img_dir), out, batch_size=2,
+                              canvas_hw=canvas, scales=scales)
+    assert res["images"] == 2
+
+    batch = np.stack([
+        serve_lib._load_image(str(img_dir / f"im{i}.png"), canvas, IN_CH,
+                              "resize") for i in range(2)])
+    live = tta.scale_avg(
+        lambda p, x: tiled_logits(trainer.logits, p, x, (H, W)), scales)
+    expect = np.argmax(np.asarray(live(state.g_i2l, jnp.asarray(batch))),
+                       axis=-1)
+    from cyclegan_tpu.data.palette import decode_colormap
+    for i in range(2):
+        got = np.asarray(Image.open(os.path.join(out, f"im{i}_pred.png")))
+        np.testing.assert_array_equal(
+            got, decode_colormap(expect[i].astype(np.uint8)))
+
+    with pytest.raises(ValueError, match="serve_scales"):
+        serve_lib.run_serve(path, str(img_dir), out, scales=scales)
+    with pytest.raises(ValueError, match="smaller than the artifact"):
+        serve_lib.run_serve(path, str(img_dir), out, canvas_hw=canvas,
+                            scales=(0.5,))
+
+
 def test_cli_testing_eval_flip(tmp_path):
     """Full CLI drive: train 2 steps on synthetic, then --testing with
     --eval_flip true produces scores."""
@@ -166,6 +255,7 @@ def test_cli_testing_eval_flip(tmp_path):
             "--num_devices", "1",
             "--checkpoint_dir", ckpt, "--results_dir", res]
     cli_main(["--training", "--max_steps", "2", "--epochs", "1"] + base)
-    cli_main(["--testing", "--eval_flip", "true"] + base)
+    cli_main(["--testing", "--eval_flip", "true",
+              "--eval_scales", "0.5,1.0"] + base)
     preds = [n for n in os.listdir(res) if n.startswith("pred_")]
     assert preds  # colorized prediction PNGs landed
