@@ -141,6 +141,110 @@ def test_exported_adam_state_resumes_torch(tmp_path):
     assert int(st0["step"]) == int(np.asarray(state.g_opt[0].count)) + 1
 
 
+def test_supervised_export_roundtrip(tmp_path):
+    """--model supervised: the single-net checkpoint reproduces our logits,
+    torch's Adam resumes from our moments, and the importer reads it back
+    bitwise (single-tree optimizer state)."""
+    from cyclegan_tpu.train.supervised import SupervisedTrainer
+    from tools.export_torch_checkpoint import export_supervised_checkpoint
+    from tools.torch_reference import ResnetG
+
+    cfg = Config(dataset="synthetic", gen_net="resnet_6blocks", ngf=NGF,
+                 ndf=NDF, bf16=False, crop_height=H, crop_width=W,
+                 batch_size=2, num_devices=1)
+    trainer = SupervisedTrainer(cfg, N_CLASSES, 3, steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(trainer.train_step)
+    batch = {"image": jnp.ones((2, H, W, 3), jnp.float32) * 0.1,
+             "label": jnp.zeros((2, H, W), jnp.int32)}
+    for _ in range(2):
+        state, _ = step(state, batch)
+
+    out = str(tmp_path / "sup.ckpt")
+    export_supervised_checkpoint(state, out, num_classes=N_CLASSES,
+                                 in_channels=3, ngf=NGF, n_blocks=6, epoch=4)
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 4 and set(ckpt) >= {"Gsi", "g_optimizer"}
+
+    # torch net reproduces our logits
+    G = ResnetG(3, N_CLASSES, NGF, 6, tanh=False)
+    G.load_state_dict(ckpt["Gsi"])
+    x = torch.randn(1, 3, H, W, generator=torch.Generator().manual_seed(5))
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    ours = np.asarray(trainer.logits(state.params, xj)).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        np.testing.assert_allclose(ours, G(x).numpy(), atol=5e-5)
+
+    # torch resumes: optimizer loads, one CE step, step count continues
+    opt = torch.optim.Adam(G.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt.load_state_dict(ckpt["g_optimizer"])
+    loss = torch.nn.functional.cross_entropy(
+        G(x), torch.zeros(1, H, W, dtype=torch.long))
+    loss.backward()
+    opt.step()
+    st0 = opt.state_dict()["state"][0]
+    assert int(st0["step"]) == int(np.asarray(state.opt_state[0].count)) + 1
+
+    # round-trips through the importer's single-tree path (reload from
+    # disk: opt.step() above advanced the step tensor SHARED with `ckpt`)
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    back_params = import_net(ckpt["Gsi"], state.params)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(back_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    back_opt = import_adam_moments(ckpt["g_optimizer"], [ckpt["Gsi"]],
+                                   [state.params], state.opt_state)
+    assert int(back_opt[0].count) == int(np.asarray(state.opt_state[0].count))
+    for ours_m, rt in zip(jax.tree.leaves(state.opt_state[0].mu),
+                          jax.tree.leaves(back_opt[0].mu)):
+        np.testing.assert_allclose(np.asarray(ours_m), np.asarray(rt),
+                                   atol=1e-7)
+
+
+def test_supervised_cli_tools_end_to_end(tmp_path, monkeypatch):
+    """Orbax supervised ckpt -> torch via the export tool CLI -> back to a
+    fresh Orbax dir via the import tool CLI; params survive bitwise."""
+    import tools.export_torch_checkpoint as exp_tool
+    import tools.import_torch_checkpoint as imp_tool
+    from cyclegan_tpu.train.supervised import SupervisedTrainer
+
+    cfg = Config(dataset="synthetic", gen_net="resnet_6blocks", ngf=NGF,
+                 ndf=NDF, bf16=False, crop_height=H, crop_width=W,
+                 batch_size=2, num_devices=1)
+    trainer = SupervisedTrainer(cfg, N_CLASSES, 3, steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    ckpt_dir = str(tmp_path / "ckpt")
+    mngr = CheckpointManager(ckpt_dir)
+    mngr.save(2, jax.device_get(state))
+    mngr.wait()
+    mngr.close()
+
+    out = str(tmp_path / "sup.ckpt")
+    monkeypatch.setattr(sys, "argv", [
+        "export_torch_checkpoint.py", ckpt_dir, out,
+        "--model", "supervised", "--dataset", "synthetic",
+        "--gen_net", "resnet_6blocks", "--ngf", str(NGF), "--ndf", str(NDF),
+        "--size", str(H), "--num_classes", str(N_CLASSES)])
+    exp_tool.main()
+    assert torch.load(out, map_location="cpu",
+                      weights_only=False)["epoch"] == 2
+
+    back_dir = str(tmp_path / "back")
+    monkeypatch.setattr(sys, "argv", [
+        "import_torch_checkpoint.py", out, back_dir,
+        "--model", "supervised", "--gen_net", "resnet_6blocks",
+        "--ngf", str(NGF), "--ndf", str(NDF), "--size", str(H),
+        "--num_classes", str(N_CLASSES), "--in_channels", "3"])
+    imp_tool.main()
+    mngr = CheckpointManager(back_dir)
+    restored = mngr.restore(trainer.init_state(jax.random.PRNGKey(9)))
+    mngr.close()
+    assert restored is not None and restored[1] == 3  # (state, next_epoch)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored[0].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_cli_tool_end_to_end(tmp_path, monkeypatch):
     """Orbax checkpoint dir -> torch latest.ckpt via the tool's CLI main."""
     import tools.export_torch_checkpoint as tool

@@ -104,7 +104,12 @@ def export_adam_moments(opt_state, jax_trees: list, torch_sds: list,
         paths = _leaf_paths(tree)
         if len(entries) != len(paths):
             raise ValueError("conv count mismatch in optimizer export")
-        mu_tree, nu_tree = adam.mu[net_i], adam.nu[net_i]
+        # CycleGAN optimizers: mu is a tuple of per-net trees; the
+        # supervised optimizer holds the single params tree directly.
+        if isinstance(adam.mu, tuple):
+            mu_tree, nu_tree = adam.mu[net_i], adam.nu[net_i]
+        else:
+            mu_tree, nu_tree = adam.mu, adam.nu
         for (kname, w_t, b_t), (path, kernel) in zip(entries, paths):
             is_deconv = any("Deconv" in getattr(k, "key", "") for k in path)
             st = {"step": torch.tensor(float(step))}
@@ -165,6 +170,28 @@ def export_checkpoint(trainer, state, out_path: str, *, num_classes: int,
     torch.save(ckpt, out_path)
 
 
+def export_supervised_checkpoint(state, out_path: str, *, num_classes: int,
+                                 in_channels: int, ngf: int, n_blocks: int,
+                                 epoch: int = 0) -> None:
+    """Supervised state -> single-net torch checkpoint (``Gsi`` = the seg
+    net, raw-logits head; ``g_optimizer`` = its Adam state). The importer's
+    ``--model supervised`` reads it back."""
+    import torch
+
+    from tools.torch_reference import ResnetG
+
+    G = ResnetG(in_channels, num_classes, ngf, n_blocks, tanh=False)
+    sd = export_net(state.params, G.state_dict())
+    opt_t = torch.optim.Adam(G.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    ckpt = {
+        "epoch": epoch,
+        "Gsi": sd,
+        "g_optimizer": export_adam_moments(
+            state.opt_state, [state.params], [sd], opt_t.state_dict()),
+    }
+    torch.save(ckpt, out_path)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("checkpoint_dir")
@@ -182,6 +209,11 @@ def main() -> None:
                     help="jax platform (default cpu: this is a host-side "
                          "migration tool; the env's sitecustomize would "
                          "otherwise route jax at the flaky TPU tunnel)")
+    ap.add_argument("--model", choices=["supervised", "semisupervised"],
+                    default="semisupervised",
+                    help="checkpoint kind: semisupervised = 4 nets + 2 Adam "
+                         "states; supervised = the single seg net + its "
+                         "Adam state")
     args = ap.parse_args()
 
     jax.config.update("jax_platforms", args.platform)
@@ -197,18 +229,26 @@ def main() -> None:
     cfg = Config(dataset=args.dataset, gen_net=args.gen_net, ngf=args.ngf,
                  ndf=args.ndf, crop_height=args.size, crop_width=args.size,
                  bf16=False, checkpoint_dir=args.checkpoint_dir)
+    semisup = args.model == "semisupervised"
     trainer, state, num_classes, in_ch = restore_for_inference(
-        cfg, semisupervised=True, num_classes=args.num_classes,
+        cfg, semisupervised=semisup, num_classes=args.num_classes,
         in_channels=args.in_channels)
     mngr = CheckpointManager(cfg.checkpoint_dir)
     epoch = int(mngr.latest_epoch() or 0)  # the ckpt key IS the epoch
     mngr.close()
-    export_checkpoint(trainer, state, args.out_ckpt,
-                      num_classes=num_classes, in_channels=in_ch,
-                      ngf=args.ngf, ndf=args.ndf, n_blocks=n_blocks,
-                      epoch=epoch)
-    print(f"exported -> {args.out_ckpt} (torch latest.ckpt format, "
-          f"4 nets + 2 Adam states)")
+    if semisup:
+        export_checkpoint(trainer, state, args.out_ckpt,
+                          num_classes=num_classes, in_channels=in_ch,
+                          ngf=args.ngf, ndf=args.ndf, n_blocks=n_blocks,
+                          epoch=epoch)
+        print(f"exported -> {args.out_ckpt} (torch latest.ckpt format, "
+              f"4 nets + 2 Adam states)")
+    else:
+        export_supervised_checkpoint(
+            state, args.out_ckpt, num_classes=num_classes,
+            in_channels=in_ch, ngf=args.ngf, n_blocks=n_blocks, epoch=epoch)
+        print(f"exported -> {args.out_ckpt} (torch supervised format, "
+              f"1 net + 1 Adam state)")
 
 
 if __name__ == "__main__":

@@ -183,8 +183,15 @@ def import_adam_moments(torch_opt_sd: dict, net_sds: list, jax_trees: list,
         mus.append(mu)
         nus.append(nu)
 
+    # CycleGAN optimizers run over a TUPLE of net trees (mu is a tuple);
+    # the supervised optimizer runs over one params tree directly.
+    single = not isinstance(opt_state[0].mu, tuple)
+    if single and len(mus) != 1:
+        raise ValueError("single-tree optimizer state but multiple nets")
     adam = opt_state[0]._replace(
-        count=jnp.asarray(step, jnp.int32), mu=tuple(mus), nu=tuple(nus))
+        count=jnp.asarray(step, jnp.int32),
+        mu=mus[0] if single else tuple(mus),
+        nu=nus[0] if single else tuple(nus))
     rest = list(opt_state[1:])
     for i, s in enumerate(rest):
         if hasattr(s, "count"):
@@ -208,6 +215,11 @@ def main() -> None:
                     help="jax platform (default cpu: this is a host-side "
                          "migration tool; the env's sitecustomize would "
                          "otherwise route jax at the flaky TPU tunnel)")
+    ap.add_argument("--model", choices=["supervised", "semisupervised"],
+                    default="semisupervised",
+                    help="checkpoint kind: semisupervised = 4 nets + 2 Adam "
+                         "states; supervised = the single seg net + its "
+                         "Adam state")
     args = ap.parse_args()
 
     jax.config.update("jax_platforms", args.platform)
@@ -216,14 +228,12 @@ def main() -> None:
 
     from cyclegan_tpu.train.checkpoint import CheckpointManager
     from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+    from cyclegan_tpu.train.supervised import SupervisedTrainer
     from cyclegan_tpu.utils.config import Config
 
     ckpt = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
     cfg = Config(gen_net=args.gen_net, ngf=args.ngf, ndf=args.ndf,
                  crop_height=args.size, crop_width=args.size, bf16=False)
-    trainer = CycleGANTrainer(cfg, args.num_classes, args.in_channels,
-                              steps_per_epoch=1)
-    state = trainer.init_state(jax.random.PRNGKey(0))
 
     # Accept both {'Gab': sd, ...} naming and positional lists.
     def find(*names):
@@ -231,6 +241,33 @@ def main() -> None:
             if n in ckpt:
                 return ckpt[n]
         raise KeyError(f"none of {names} in checkpoint keys {list(ckpt)}")
+
+    if args.model == "supervised":
+        trainer = SupervisedTrainer(cfg, args.num_classes, args.in_channels,
+                                    steps_per_epoch=1)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        sd = find("Gsi", "model", "net", "G", "state_dict")
+        state = state._replace(params=import_net(sd, state.params))
+        opt_sd = next((ckpt[k] for k in ("g_optimizer", "optimizer", "opt")
+                       if k in ckpt), None)
+        if opt_sd is not None:
+            state = state._replace(opt_state=import_adam_moments(
+                opt_sd, [sd], [state.params], state.opt_state))
+            print("imported optimizer moments")
+        else:
+            print("no optimizer state in checkpoint; moments re-initialized")
+        epoch = args.epoch if args.epoch is not None \
+            else int(ckpt.get("epoch", 0))
+        mngr = CheckpointManager(args.out_dir)
+        mngr.save(epoch, jax.device_get(state))
+        mngr.wait()
+        mngr.close()
+        print(f"imported -> {args.out_dir} (supervised, epoch {epoch})")
+        return
+
+    trainer = CycleGANTrainer(cfg, args.num_classes, args.in_channels,
+                              steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
 
     g_i2l_sd = find("Gsi", "Gab", "G_A", "netG_A")
     g_l2i_sd = find("Gis", "Gba", "G_B", "netG_B")
