@@ -98,7 +98,8 @@ def quantize_weights(params: Any, *, min_size: int = QUANT_MIN_SIZE,
     rounding.
 
     ``mode="bf16"``: the same leaves stored as bfloat16 (``{"__bf16__":
-    array}``). ~2x smaller; relative error <= 2^-9 per weight (bf16 keeps
+    array}``). ~2x smaller; worst-case relative error <= 2^-8 per weight
+    (round-to-nearest with bf16's 7 stored mantissa bits; bf16 keeps
     fp32's exponent) — the conservative choice when int8's rounding is a
     concern.
 

@@ -87,45 +87,20 @@ def _chunks(seq: list, n: int) -> Iterable[list]:
         yield seq[i:i + n]
 
 
-def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
-              batch_size: int = 8, gt_dir: str | None = None,
-              eval_resize: str = "resize",
-              canvas_hw: tuple[int, int] | None = None,
-              data_parallel: bool = False, flip: bool = False,
-              scales: tuple[float, ...] | None = None) -> dict:
-    """Run the segment (or logits) head of an exported artifact over
-    ``input_dir``.
+def build_predictor(artifact_path: str, *,
+                    eval_resize: str = "resize",
+                    canvas_hw: tuple[int, int] | None = None,
+                    data_parallel: bool = False, flip: bool = False,
+                    scales: tuple[float, ...] | None = None):
+    """Load a ``.shlo`` artifact and assemble its batched predictor.
 
-    Writes ``<stem>_pred.png`` (VOC-palette colorized) per input image into
-    ``output_dir``; when ``gt_dir`` holds same-stem masks, accumulates the
-    confusion matrix and writes ``scores.json``. Returns the summary dict.
-
-    ``canvas_hw``: tiled high-resolution serving — load images at this
-    fixed canvas and slide the artifact's crop-size window over it with
-    50% overlap, averaging logits (cyclegan_tpu.eval_tile; windows ride
-    the artifact's batch-polymorphic dim). Requires a ``logits``-head
-    artifact (``--export_what logits``): argmax heads can't be averaged.
-
-    ``data_parallel``: shard each serving batch over ALL local devices
-    (1-axis ``jax.sharding.Mesh``; the exported module compiles SPMD via
-    sharding propagation — batchwise ops need no collectives). Ragged
-    batches are zero-padded to a device multiple and the padding dropped.
-    One process only; multi-host serving is a fleet of independent hosts.
-
-    ``flip``: horizontal-flip TTA (cyclegan_tpu.tta) — average each
-    image's logits with the mirrored logits of its flip before the
-    argmax. Requires a ``logits``-head artifact (argmax heads can't be
-    averaged); composes with ``canvas_hw`` (the flip wraps the whole
-    tiled canvas) and ``data_parallel``.
-
-    ``scales``: multi-scale TTA (tta.scale_avg) — logits at each canvas
-    scale resized back and averaged. Requires ``canvas_hw`` (tiled)
-    serving: the artifact's window is fixed-shape, so only re-tiling a
-    rescaled canvas can feed it; every scaled canvas must stay >= the
-    window. Composes with ``flip`` (average over scales x mirror).
-    """
-    from PIL import Image
-
+    Returns ``(predict_batch, info)`` where ``predict_batch`` maps an
+    ``(N, H, W, C)`` float batch (already ``eval_transform``-shaped at
+    ``info['load_hw']``) to ``(N, H, W)`` class indices, with all the TTA /
+    tiling / DP options of :func:`run_serve` baked in, and ``info`` carries
+    ``load_hw``, ``in_channels``, ``num_classes``, ``head``, ``window_hw``
+    and the manifest. Shared by directory serving (:func:`run_serve`) and
+    the HTTP endpoint (cyclegan_tpu.http_serve)."""
     if eval_resize not in ("resize", "center_crop"):
         # "tile" as an eval_resize value is the framework-eval spelling;
         # serving spells it --serve_canvas_height/width (needs the logits
@@ -197,17 +172,9 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
 
             batch_logits = flip_avg(batch_logits)
         if scales:
-            from cyclegan_tpu.tta import scale_avg
+            from cyclegan_tpu.tta import scale_avg, validate_tile_scales
 
-            for s in scales:
-                ch, cw = canvas_hw
-                sh, sw = max(round(ch * s / 4) * 4, 4), \
-                    max(round(cw * s / 4) * 4, 4)
-                if sh < h or sw < w:
-                    raise ValueError(
-                        f"scale {s} shrinks the canvas {ch}x{cw} to "
-                        f"{sh}x{sw}, smaller than the artifact window "
-                        f"{h}x{w}")
+            validate_tile_scales(canvas_hw, (h, w), tuple(scales))
             batch_logits = scale_avg(batch_logits, tuple(scales))
         logits_fn = batch_logits
         predict_batch = jax.jit(
@@ -228,6 +195,57 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
                 x = np.concatenate(
                     [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
             return inner(jax.device_put(x, shard))[:b]
+
+    info = {"load_hw": load_hw, "window_hw": (h, w), "in_channels": c,
+            "num_classes": num_classes, "head": head, "manifest": manifest,
+            "eval_resize": eval_resize}
+    return predict_batch, info
+
+
+def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
+              batch_size: int = 8, gt_dir: str | None = None,
+              eval_resize: str = "resize",
+              canvas_hw: tuple[int, int] | None = None,
+              data_parallel: bool = False, flip: bool = False,
+              scales: tuple[float, ...] | None = None) -> dict:
+    """Run the segment (or logits) head of an exported artifact over
+    ``input_dir``.
+
+    Writes ``<stem>_pred.png`` (VOC-palette colorized) per input image into
+    ``output_dir``; when ``gt_dir`` holds same-stem masks, accumulates the
+    confusion matrix and writes ``scores.json``. Returns the summary dict.
+
+    ``canvas_hw``: tiled high-resolution serving — load images at this
+    fixed canvas and slide the artifact's crop-size window over it with
+    50% overlap, averaging logits (cyclegan_tpu.eval_tile; windows ride
+    the artifact's batch-polymorphic dim). Requires a ``logits``-head
+    artifact (``--export_what logits``): argmax heads can't be averaged.
+
+    ``data_parallel``: shard each serving batch over ALL local devices
+    (1-axis ``jax.sharding.Mesh``; the exported module compiles SPMD via
+    sharding propagation — batchwise ops need no collectives). Ragged
+    batches are zero-padded to a device multiple and the padding dropped.
+    One process only; multi-host serving is a fleet of independent hosts.
+
+    ``flip``: horizontal-flip TTA (cyclegan_tpu.tta) — average each
+    image's logits with the mirrored logits of its flip before the
+    argmax. Requires a ``logits``-head artifact (argmax heads can't be
+    averaged); composes with ``canvas_hw`` (the flip wraps the whole
+    tiled canvas) and ``data_parallel``.
+
+    ``scales``: multi-scale TTA (tta.scale_avg) — logits at each canvas
+    scale resized back and averaged. Requires ``canvas_hw`` (tiled)
+    serving: the artifact's window is fixed-shape, so only re-tiling a
+    rescaled canvas can feed it; every scaled canvas must stay >= the
+    window. Composes with ``flip`` (average over scales x mirror).
+    """
+    from PIL import Image
+
+    predict_batch, info = build_predictor(
+        artifact_path, eval_resize=eval_resize, canvas_hw=canvas_hw,
+        data_parallel=data_parallel, flip=flip, scales=scales)
+    load_hw, c = info["load_hw"], info["in_channels"]
+    num_classes = info["num_classes"]
 
     names = _list_images(input_dir)
     os.makedirs(output_dir, exist_ok=True)

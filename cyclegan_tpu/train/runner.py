@@ -168,6 +168,11 @@ def _make_eval_fns(cfg: Config, trainer):
     if getattr(cfg, "eval_flip", False):
         canvas_logits = tta.flip_avg(canvas_logits or trainer.logits)
     scales = tta.parse_scales(getattr(cfg, "eval_scales", None))
+    if scales and cfg.eval_resize == "tile":
+        # Fail at setup, not at the first eval trace — which would land
+        # AFTER a full training epoch and before its checkpoint save.
+        tta.validate_tile_scales((cfg.resize_height, cfg.resize_width),
+                                 cfg.crop_hw, scales)
     if scales:
         canvas_logits = tta.scale_avg(canvas_logits or trainer.logits,
                                       scales)

@@ -53,6 +53,39 @@ def parse_scales(spec: str | None) -> tuple[float, ...] | None:
     return scales
 
 
+def snapped_dims(h: int, w: int, scale: float, *, snap: int = 4) -> tuple[int, int]:
+    """The static (H, W) :func:`scale_avg` actually runs ``scale`` at.
+
+    Shared with the pre-flight validators (serve.py, runner tile mode) so
+    a configuration is rejected with the same arithmetic the jitted
+    program will use — the two must never diverge.
+    """
+    hs = max(int(round(h * scale / snap)) * snap, snap)
+    ws = max(int(round(w * scale / snap)) * snap, snap)
+    return hs, ws
+
+
+def validate_tile_scales(canvas_hw: tuple[int, int], window_hw: tuple[int, int],
+                         scales: tuple[float, ...] | None, *,
+                         snap: int = 4) -> None:
+    """Raise early if any TTA scale shrinks a tile-mode canvas below the
+    sliding window — otherwise the failure surfaces only at the first
+    eval trace (after a full training epoch, before its checkpoint save).
+    """
+    if not scales:
+        return
+    ch, cw = canvas_hw
+    wh, ww = window_hw
+    for s in scales:
+        hs, ws = snapped_dims(ch, cw, s, snap=snap)
+        if hs < wh or ws < ww:
+            raise ValueError(
+                f"eval/serve scale {s} shrinks the {ch}x{cw} canvas to "
+                f"{hs}x{ws}, smaller than the {wh}x{ww} sliding window — "
+                f"raise the canvas (--resize_height/width or "
+                f"--serve_canvas_height/width) or drop the scale")
+
+
 def scale_avg(logits_fn: LogitsFn, scales: tuple[float, ...], *,
               snap: int = 4) -> LogitsFn:
     """Multi-scale TTA: run ``logits_fn`` at each image scale, bilinearly
@@ -73,8 +106,7 @@ def scale_avg(logits_fn: LogitsFn, scales: tuple[float, ...], *,
         b, h, w, c = images.shape
         acc = None
         for s in scales:
-            hs = max(int(round(h * s / snap)) * snap, snap)
-            ws = max(int(round(w * s / snap)) * snap, snap)
+            hs, ws = snapped_dims(h, w, s, snap=snap)
             if (hs, ws) == (h, w):
                 lo = logits_fn(params, images).astype(jnp.float32)
             else:

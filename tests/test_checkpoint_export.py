@@ -99,7 +99,7 @@ def test_exported_adam_state_resumes_torch(tmp_path):
         state, _ = step(state, batch)
 
     out = str(tmp_path / "latest.ckpt")
-    export_checkpoint(trainer, state, out, num_classes=N_CLASSES,
+    export_checkpoint(state, out, num_classes=N_CLASSES,
                       in_channels=3, ngf=NGF, ndf=NDF, n_blocks=6, epoch=7)
     ckpt = torch.load(out, map_location="cpu", weights_only=False)
     assert ckpt["epoch"] == 7
@@ -268,3 +268,24 @@ def test_cli_tool_end_to_end(tmp_path, monkeypatch):
     back = import_net(ckpt["Gsi"], state.g_i2l)
     for a, b in zip(jax.tree.leaves(state.g_i2l), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_adam_moments_rejects_mismatched_widths():
+    """A moment tensor that fits neither conv nor deconv layout raises
+    (instead of silently writing wrong-shaped optimizer state that only
+    breaks at torch's first opt.step())."""
+    import itertools
+
+    import pytest
+
+    _, trainer, state = _trainer_state()
+    torch.manual_seed(0)
+    # Wrong --ngf/--ndf: same conv COUNT, different per-layer shapes.
+    G_i2l, G_l2i, D_img, D_lab = build(N_CLASSES, 3, NGF * 2, NDF * 2, 6)
+    g_opt_t = torch.optim.Adam(
+        itertools.chain(G_i2l.parameters(), G_l2i.parameters()),
+        lr=2e-4, betas=(0.5, 0.999))
+    with pytest.raises(ValueError, match="fits neither"):
+        export_adam_moments(
+            state.g_opt, [state.g_i2l, state.g_l2i],
+            [G_i2l.state_dict(), G_l2i.state_dict()], g_opt_t.state_dict())

@@ -239,7 +239,7 @@ def test_serve_scales_tiled(setup, tmp_path):
 
     with pytest.raises(ValueError, match="serve_scales"):
         serve_lib.run_serve(path, str(img_dir), out, scales=scales)
-    with pytest.raises(ValueError, match="smaller than the artifact"):
+    with pytest.raises(ValueError, match="sliding window"):
         serve_lib.run_serve(path, str(img_dir), out, canvas_hw=canvas,
                             scales=(0.5,))
 
@@ -259,3 +259,32 @@ def test_cli_testing_eval_flip(tmp_path):
               "--eval_scales", "0.5,1.0"] + base)
     preds = [n for n in os.listdir(res) if n.startswith("pred_")]
     assert preds  # colorized prediction PNGs landed
+
+
+def test_validate_tile_scales_matches_scale_avg_snap():
+    """snapped_dims is the single source of truth: the validator's
+    arithmetic equals what scale_avg actually runs at."""
+    for h, w, s in [(256, 256, 0.75), (192, 320, 0.5), (24, 24, 1.25),
+                    (100, 100, 0.03)]:
+        hs, ws = tta.snapped_dims(h, w, s)
+        assert hs == max(round(h * s / 4) * 4, 4)
+        assert ws == max(round(w * s / 4) * 4, 4)
+    # ok: every snapped canvas >= window
+    tta.validate_tile_scales((256, 256), (224, 224), (1.0, 1.25))
+    tta.validate_tile_scales((256, 256), (224, 224), None)
+    # 0.75 snaps 256 -> 192 < 224: rejected
+    with pytest.raises(ValueError, match="192x192"):
+        tta.validate_tile_scales((256, 256), (224, 224), (0.75, 1.0))
+
+
+def test_runner_tile_scales_rejected_at_setup(setup):
+    """--eval_resize tile + a window-shrinking scale fails at setup
+    (_make_eval_fns), not after the first training epoch."""
+    cfg, trainer, _ = setup
+    bad = cfg.replace(eval_resize="tile", resize_height=32, resize_width=32,
+                      eval_scales="0.5,1.0")
+    with pytest.raises(ValueError, match="sliding window"):
+        runner._make_eval_fns(bad, trainer)
+    ok = cfg.replace(eval_resize="tile", resize_height=48, resize_width=48,
+                     eval_scales="0.5,1.0")
+    runner._make_eval_fns(ok, trainer)  # 0.5 snaps 48 -> 24 == window: fine

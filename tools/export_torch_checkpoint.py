@@ -118,6 +118,10 @@ def export_adam_moments(opt_state, jax_trees: list, torch_sds: list,
                 cand = _from_hwio(m, is_deconv)
                 if cand.shape != tuple(w_t.shape):
                     cand = _from_hwio(m, not is_deconv)
+                if cand.shape != tuple(w_t.shape):
+                    raise ValueError(
+                        f"{kname} {field}: moment {m.shape} fits neither "
+                        f"conv nor deconv layout for {tuple(w_t.shape)}")
                 st[field] = torch.from_numpy(np.ascontiguousarray(cand))
             out["state"][idx] = st
             idx += 1
@@ -135,7 +139,7 @@ def export_adam_moments(opt_state, jax_trees: list, torch_sds: list,
     return out
 
 
-def export_checkpoint(trainer, state, out_path: str, *, num_classes: int,
+def export_checkpoint(state, out_path: str, *, num_classes: int,
                       in_channels: int, ngf: int, ndf: int, n_blocks: int,
                       epoch: int = 0) -> None:
     """state -> reference-style ``latest.ckpt`` (torch.save dict)."""
@@ -237,7 +241,7 @@ def main() -> None:
     epoch = int(mngr.latest_epoch() or 0)  # the ckpt key IS the epoch
     mngr.close()
     if semisup:
-        export_checkpoint(trainer, state, args.out_ckpt,
+        export_checkpoint(state, args.out_ckpt,
                           num_classes=num_classes, in_channels=in_ch,
                           ngf=args.ngf, ndf=args.ndf, n_blocks=n_blocks,
                           epoch=epoch)
