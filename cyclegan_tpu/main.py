@@ -82,6 +82,13 @@ def get_args(argv=None) -> argparse.Namespace:
                    help="horizontal-flip TTA at serving: average each "
                         "image's logits with its mirror's (needs a "
                         "logits-head artifact; --eval_flip true implies it)")
+    p.add_argument("--serve_http", type=int, default=None, metavar="PORT",
+                   help="serve the artifact as an HTTP endpoint on PORT "
+                        "instead of over a directory (GET /healthz, /info; "
+                        "POST /predict — cyclegan_tpu.http_serve)")
+    p.add_argument("--serve_host", type=str, default="127.0.0.1",
+                   help="bind address for --serve_http (default loopback; "
+                        "use 0.0.0.0 behind a load balancer)")
     p.add_argument("--serve_scales", type=str, default=None,
                    help="multi-scale TTA at serving, e.g. '0.75,1.0,1.25' "
                         "(needs tiled serving: --serve_canvas_height/width "
@@ -135,8 +142,9 @@ def main(argv=None) -> None:
     from cyclegan_tpu.train import runner  # deferred: jax init is slow
 
     if args.serve:
-        if not args.serve_input:
-            raise SystemExit("--serve needs --serve_input DIR")
+        if not (args.serve_input or args.serve_http):
+            raise SystemExit("--serve needs --serve_input DIR "
+                             "(or --serve_http PORT for the endpoint)")
         from cyclegan_tpu import serve as serve_lib
 
         canvas = None
@@ -151,6 +159,15 @@ def main(argv=None) -> None:
             else cfg.eval_resize
         from cyclegan_tpu.tta import parse_scales
 
+        if args.serve_http:
+            from cyclegan_tpu.http_serve import run_http_serve
+
+            run_http_serve(
+                args.serve, host=args.serve_host, port=args.serve_http,
+                eval_resize=resize, canvas_hw=canvas,
+                flip=args.serve_flip or cfg.eval_flip,
+                scales=parse_scales(args.serve_scales or cfg.eval_scales))
+            return
         serve_lib.run_serve(
             args.serve, args.serve_input,
             args.serve_output or cfg.results_dir,

@@ -1,0 +1,237 @@
+"""HTTP serving endpoint (cyclegan_tpu/http_serve.py): .shlo artifact ->
+online segmentation API, stdlib HTTP only.
+
+Proof obligations: POST /predict bit-matches the live jitted predictor fed
+the same eval transform (png + mask + json formats); /healthz and /info
+answer; decode/route/format errors return structured 4xx JSON, not stack
+traces; TTA options (flip) thread through; the server runs threaded with
+an ephemeral port (hermetic — no fixed-port collisions).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from cyclegan_tpu import export as export_lib
+from cyclegan_tpu import http_serve, tta
+from cyclegan_tpu.data.palette import decode_colormap
+from cyclegan_tpu.data.transforms import eval_transform
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+from cyclegan_tpu.utils.config import Config
+
+H, W = 24, 24
+NUM_CLASSES, IN_CH = 21, 3
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("http")
+    cfg = Config(dataset="synthetic", gen_net="resnet_6blocks", ngf=4, ndf=4,
+                 bf16=False, crop_height=H, crop_width=W, batch_size=2,
+                 pool_size=2, num_devices=1)
+    trainer = CycleGANTrainer(cfg, NUM_CLASSES, IN_CH, steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    seg = export_lib.export_predictor(
+        trainer.predict, state.g_i2l, height=H, width=W, in_channels=IN_CH,
+        platforms=("cpu",))
+    seg_path = str(tmp / "segment.shlo")
+    export_lib.save_artifact(seg_path, seg, manifest={
+        "head": "segment", "num_classes": NUM_CLASSES})
+    logits = export_lib.export_predictor(
+        trainer.logits, state.g_i2l, height=H, width=W, in_channels=IN_CH,
+        platforms=("cpu",))
+    logits_path = str(tmp / "logits.shlo")
+    export_lib.save_artifact(logits_path, logits, manifest={
+        "head": "logits", "num_classes": NUM_CLASSES})
+    return seg_path, logits_path, trainer, state
+
+
+def _start(server):
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    return f"http://{host}:{port}", t
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url: str, data: bytes):
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+@pytest.fixture(scope="module")
+def server(setup):
+    seg_path, _, _, _ = setup
+    srv = http_serve.make_server(seg_path, port=0)
+    url, _ = _start(srv)
+    yield url, srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_healthz_and_info(server):
+    url, _ = server
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert r.status == 200
+        assert json.load(r)["status"] == "ok"
+    with urllib.request.urlopen(url + "/info", timeout=30) as r:
+        info = json.load(r)
+    assert info["head"] == "segment"
+    assert info["num_classes"] == NUM_CLASSES
+    assert info["window_hw"] == [H, W] and info["load_hw"] == [H, W]
+    assert info["tta"] == {"flip": False, "scales": None, "canvas_hw": None}
+
+
+def test_predict_matches_live(server, setup):
+    """The endpoint's png/mask/json answers == the live predictor's, on an
+    off-size source image (exercises the eval transform)."""
+    url, _ = server
+    _, _, trainer, state = setup
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, (30, 40, 3), np.uint8)
+
+    img, _ = eval_transform(src, None, crop_hw=(H, W), mode="resize")
+    expect = np.asarray(jax.jit(trainer.predict)(
+        state.g_i2l, jnp.asarray(img[None])))[0].astype(np.uint8)
+
+    status, ctype, body = _post(url + "/predict", _png_bytes(src))
+    assert status == 200 and ctype == "image/png"
+    got = np.asarray(Image.open(io.BytesIO(body)))
+    np.testing.assert_array_equal(got, decode_colormap(expect))
+
+    status, _, body = _post(url + "/predict?format=mask", _png_bytes(src))
+    assert status == 200
+    mask = np.asarray(Image.open(io.BytesIO(body)))
+    np.testing.assert_array_equal(mask, expect)
+
+    status, ctype, body = _post(url + "/predict?format=json", _png_bytes(src))
+    assert status == 200 and ctype == "application/json"
+    out = json.loads(body)
+    assert out["shape"] == [H, W]
+    idx, cnt = np.unique(expect, return_counts=True)
+    assert out["class_pixels"] == {str(int(i)): int(n)
+                                   for i, n in zip(idx, cnt)}
+
+
+def test_concurrent_requests(server, setup):
+    """ThreadingHTTPServer + predict lock: parallel posts all answer
+    correctly (no interleaving corruption)."""
+    url, _ = server
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (30, 40, 3), np.uint8) for _ in range(4)]
+    results = [None] * len(imgs)
+
+    def post(i):
+        _, _, body = _post(url + "/predict?format=mask", _png_bytes(imgs[i]))
+        results[i] = np.asarray(Image.open(io.BytesIO(body)))
+
+    threads = [threading.Thread(target=post, args=(i,))
+               for i in range(len(imgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    _, _, trainer, state = setup
+    predict = jax.jit(trainer.predict)
+    for i, src in enumerate(imgs):
+        img, _ = eval_transform(src, None, crop_hw=(H, W), mode="resize")
+        expect = np.asarray(predict(
+            state.g_i2l, jnp.asarray(img[None])))[0].astype(np.uint8)
+        np.testing.assert_array_equal(results[i], expect)
+
+
+def test_error_paths(server):
+    url, _ = server
+    # bad route
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(url + "/nope", timeout=30)
+    assert e.value.code == 404
+    # bad format
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/predict?format=tiff", b"x")
+    assert e.value.code == 400
+    # empty body
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/predict", b"")
+    assert e.value.code == 400
+    # undecodable body
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/predict", b"not an image at all")
+    assert e.value.code == 400
+    assert "decode" in json.load(e.value)["error"]
+    # POST to a GET route
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/info", b"x")
+    assert e.value.code == 404
+
+
+def test_metrics_endpoint(setup):
+    """/metrics: Prometheus text format with per-route counters and a
+    predict-latency histogram that advances with requests. Fresh server —
+    counters start at zero (the shared fixture's are polluted by order)."""
+    seg_path, _, _, _ = setup
+    srv = http_serve.make_server(seg_path, port=0)
+    url, _ = _start(srv)
+    try:
+        rng = np.random.default_rng(5)
+        src = rng.integers(0, 256, (H, W, 3), np.uint8)
+        for _ in range(2):
+            _post(url + "/predict", _png_bytes(src))
+        with pytest.raises(urllib.error.HTTPError):
+            _post(url + "/predict", b"garbage")
+        with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert ('cyclegan_tpu_requests_total{route="/predict",code="200"} 2'
+                in text)
+        assert ('cyclegan_tpu_requests_total{route="/predict",code="400"} 1'
+                in text)
+        assert "cyclegan_tpu_predict_seconds_count 2" in text
+        assert 'cyclegan_tpu_predict_seconds_bucket{le="+Inf"} 2' in text
+        # sum is a positive float
+        sum_line = [ln for ln in text.splitlines()
+                    if ln.startswith("cyclegan_tpu_predict_seconds_sum")][0]
+        assert float(sum_line.split()[1]) > 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_flip_tta_endpoint(setup):
+    """A flip-TTA server (logits artifact) matches flip_avg of the live
+    logits fn."""
+    _, logits_path, trainer, state = setup
+    srv = http_serve.make_server(logits_path, port=0, flip=True)
+    url, _ = _start(srv)
+    try:
+        with urllib.request.urlopen(url + "/info", timeout=30) as r:
+            assert json.load(r)["tta"]["flip"] is True
+        rng = np.random.default_rng(11)
+        src = rng.integers(0, 256, (H, W, 3), np.uint8)
+        img, _ = eval_transform(src, None, crop_hw=(H, W), mode="resize")
+        fn = tta.flip_avg(trainer.logits)
+        expect = np.argmax(np.asarray(
+            fn(state.g_i2l, jnp.asarray(img[None]))), axis=-1)[0]
+        _, _, body = _post(url + "/predict?format=mask", _png_bytes(src))
+        got = np.asarray(Image.open(io.BytesIO(body)))
+        np.testing.assert_array_equal(got, expect.astype(np.uint8))
+    finally:
+        srv.shutdown()
+        srv.server_close()
