@@ -31,6 +31,39 @@ DATASET_SPECS = {
     "synthetic_gray": (4, 1, 255),
 }
 
+# Human-readable class names for the per-class IoU report the reference's
+# scores() emits (SURVEY.md §2 eval-metrics row: per-class IoU). VOC order is
+# the official devkit order; Cityscapes is the 19-trainId order; ACDC is the
+# cardiac-MRI convention (background, RV cavity, myocardium, LV cavity).
+CLASS_NAMES = {
+    "voc2012": (
+        "background", "aeroplane", "bicycle", "bird", "boat", "bottle",
+        "bus", "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
+        "motorbike", "person", "pottedplant", "sheep", "sofa", "train",
+        "tvmonitor",
+    ),
+    "cityscapes": (
+        "road", "sidewalk", "building", "wall", "fence", "pole",
+        "traffic light", "traffic sign", "vegetation", "terrain", "sky",
+        "person", "rider", "car", "truck", "bus", "train", "motorcycle",
+        "bicycle",
+    ),
+    "acdc": ("background", "right ventricle", "myocardium", "left ventricle"),
+}
+
+
+def class_names(dataset: str, num_classes: int) -> tuple[str, ...]:
+    """Class-name tuple for ``dataset``, padded/truncated to ``num_classes``.
+
+    Unknown datasets (and the synthetic corpora) fall back to ``class_{i}``;
+    a known table whose length disagrees with ``num_classes`` also falls back
+    rather than mislabel rows of the confusion matrix.
+    """
+    names = CLASS_NAMES.get(dataset)
+    if names is not None and len(names) == num_classes:
+        return names
+    return tuple(f"class_{i}" for i in range(num_classes))
+
 
 @dataclass
 class SegmentationDataset:

@@ -25,6 +25,8 @@ import jax.export
 import jax.numpy as jnp
 import numpy as np
 
+from cyclegan_tpu.data.datasets import class_names
+
 DEFAULT_PLATFORMS = ("cpu", "tpu")
 
 
@@ -253,6 +255,9 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
     manifest = {
         "head": what, "dataset": cfg.dataset, "gen_net": cfg.gen_net,
         "num_classes": num_classes,
+        # Self-describing artifact: serving hosts label per-class scores
+        # and /info responses without knowing the dataset convention.
+        "class_names": list(class_names(cfg.dataset, num_classes)),
         "trained_steps": int(np.asarray(jax.device_get(state.step)).max()),
     }
     if quantize:

@@ -24,8 +24,9 @@ Endpoints:
   - ``format=mask``: raw class indices as a grayscale PNG (lossless —
     class counts here are <= 255).
   - ``format=json``: ``{"shape": [H, W], "class_pixels": {idx: count}}``
-    — the per-class pixel histogram (cheap summary; fetch ``mask`` for
-    the full map).
+    (plus ``class_pixels_named`` when the artifact manifest embeds
+    ``class_names``) — the per-class pixel histogram (cheap summary;
+    fetch ``mask`` for the full map).
 
 All device work is serialized behind a lock: requests are single-image
 (the batch-polymorphic artifact compiles one ``(1, H, W, C)`` program at
@@ -228,9 +229,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, _png_bytes(pred), "image/png")
         else:
             idx, cnt = np.unique(pred, return_counts=True)
-            self._json(200, {"shape": list(pred.shape),
-                             "class_pixels": {int(i): int(n)
-                                              for i, n in zip(idx, cnt)}})
+            resp = {"shape": list(pred.shape),
+                    "class_pixels": {int(i): int(n)
+                                     for i, n in zip(idx, cnt)}}
+            names = info["manifest"].get("class_names") or []
+            if len(names) == info["num_classes"]:
+                # Artifacts exported with embedded class_names also get the
+                # histogram keyed by label (additive; index keys stay).
+                resp["class_pixels_named"] = {
+                    names[int(i)]: int(n) for i, n in zip(idx, cnt)
+                    if 0 <= int(i) < len(names)}
+            self._json(200, resp)
 
 
 def make_server(artifact_path: str, *, host: str = "127.0.0.1",

@@ -25,6 +25,7 @@ from typing import Iterable
 import jax
 import numpy as np
 
+from cyclegan_tpu.data.datasets import class_names
 from cyclegan_tpu.data.palette import decode_colormap, encode_colormap
 from cyclegan_tpu.data.transforms import eval_transform
 from cyclegan_tpu.export import load_artifact
@@ -282,6 +283,15 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     if hist is not None:
         s = metrics_lib.scores(hist)
         out.update({k: float(v) for k, v in s.items() if np.ndim(v) == 0})
+        # Per-class IoU keyed by class name (reference scores() table).
+        # Newer artifacts embed their class_names; older manifests fall back
+        # to the dataset-convention table (or class_{i}).
+        names = info["manifest"].get("class_names")
+        if not names or len(names) != num_classes:
+            names = class_names(info["manifest"].get("dataset", ""),
+                                num_classes)
+        out["per_class_iou"] = {
+            n: float(v) for n, v in zip(names, np.asarray(s["per_class_iou"]))}
         with open(os.path.join(output_dir, "scores.json"), "w") as f:
             json.dump({k: v for k, v in out.items() if k != "output_dir"},
                       f, indent=2, sort_keys=True)

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cyclegan_tpu.data.datasets import DATASET_SPECS, make_dataset, split_labeled
+from cyclegan_tpu.data.datasets import (
+    DATASET_SPECS, class_names, make_dataset, split_labeled)
 from cyclegan_tpu.data.loader import (
     Loader, paired_iterator, paired_steps_per_epoch)
 from cyclegan_tpu.data.palette import decode_colormap
@@ -698,7 +699,16 @@ def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
             hist = h if hist is None else hist + h
     out = {}
     if hist is not None:
-        out = {k: float(v) for k, v in metrics_lib.scores(hist).items()
-               if np.ndim(v) == 0}
-        print(f"test scores: {out}", flush=True)
+        s = metrics_lib.scores(hist)
+        out = {k: float(v) for k, v in s.items() if np.ndim(v) == 0}
+        # Per-class IoU keyed by class name — the reference's scores() returns
+        # the class-wise IoU table alongside the scalars (SURVEY.md §2).
+        names = class_names(cfg.dataset, num_classes)
+        out["per_class_iou"] = {
+            n: float(v) for n, v in zip(names, np.asarray(s["per_class_iou"]))}
+        print(f"test scores: "
+              f"{ {k: v for k, v in out.items() if k != 'per_class_iou'} }",
+              flush=True)
+        for n, v in out["per_class_iou"].items():
+            print(f"  iou[{n}]: {v:.4f}", flush=True)
     return out

@@ -130,6 +130,9 @@ def test_run_test_tile_mode_end_to_end(trainer_state, tmp_path):
     scores = run_test(cfg, semisupervised=True)
     for k in ("miou", "pixel_acc"):
         assert 0.0 <= scores[k] <= 1.0
+    # Named per-class IoU rides along (reference scores() class table).
+    from cyclegan_tpu.data.datasets import DATASET_SPECS
+    assert len(scores["per_class_iou"]) == DATASET_SPECS[cfg.dataset][0]
     from PIL import Image
     preds = sorted(p for p in os.listdir(cfg.results_dir)
                    if p.startswith("pred_"))

@@ -139,6 +139,9 @@ def test_cli_export_segment_and_generate(tmp_path):
     manifest = json.loads((tmp_path / "seg.shlo.json").read_text())
     assert manifest["num_classes"] == NUM_CLASSES
     assert manifest["trained_steps"] == 0
+    # Self-describing artifact: per-class labels travel with the weights.
+    assert manifest["class_names"] == [f"class_{i}"
+                                       for i in range(NUM_CLASSES)]
 
     log_path = str(tmp_path / "logits.shlo")
     cli_main(["--export", log_path, "--export_what", "logits"] + base)

@@ -46,7 +46,8 @@ def setup(tmp_path_factory):
         platforms=("cpu",))
     seg_path = str(tmp / "segment.shlo")
     export_lib.save_artifact(seg_path, seg, manifest={
-        "head": "segment", "num_classes": NUM_CLASSES})
+        "head": "segment", "num_classes": NUM_CLASSES,
+        "class_names": [f"name_{i}" for i in range(NUM_CLASSES)]})
     logits = export_lib.export_predictor(
         trainer.logits, state.g_i2l, height=H, width=W, in_channels=IN_CH,
         platforms=("cpu",))
@@ -127,6 +128,9 @@ def test_predict_matches_live(server, setup):
     idx, cnt = np.unique(expect, return_counts=True)
     assert out["class_pixels"] == {str(int(i)): int(n)
                                    for i, n in zip(idx, cnt)}
+    # Manifest embeds class_names -> the histogram is also keyed by label.
+    assert out["class_pixels_named"] == {f"name_{int(i)}": int(n)
+                                         for i, n in zip(idx, cnt)}
 
 
 def test_concurrent_requests(server, setup):

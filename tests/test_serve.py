@@ -96,7 +96,11 @@ def test_serve_scores_against_masks(artifact, image_dir, tmp_path):
     for k in ("miou", "pixel_acc", "mean_acc", "fwiou"):
         assert 0.0 <= res[k] <= 1.0
     with open(os.path.join(out, "scores.json")) as f:
-        assert json.load(f)["scored"] == N_IMAGES - 1
+        written = json.load(f)
+    assert written["scored"] == N_IMAGES - 1
+    # Per-class IoU table (reference scores() output), keyed by class name.
+    assert len(written["per_class_iou"]) == NUM_CLASSES
+    assert all(0.0 <= v <= 1.0 for v in written["per_class_iou"].values())
 
 
 def test_serve_cli(artifact, image_dir, tmp_path):
