@@ -53,10 +53,11 @@ CLASS_NAMES = {
 
 
 def class_names(dataset: str, num_classes: int) -> tuple[str, ...]:
-    """Class-name tuple for ``dataset``, padded/truncated to ``num_classes``.
+    """Class-name tuple for ``dataset`` when its table matches ``num_classes``.
 
-    Unknown datasets (and the synthetic corpora) fall back to ``class_{i}``;
-    a known table whose length disagrees with ``num_classes`` also falls back
+    The known table is returned only on an exact length match. Unknown
+    datasets (and the synthetic corpora) fall back to ``class_{i}``; a known
+    table whose length disagrees with ``num_classes`` also falls back entirely
     rather than mislabel rows of the confusion matrix.
     """
     names = CLASS_NAMES.get(dataset)

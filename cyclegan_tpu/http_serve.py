@@ -233,9 +233,13 @@ class _Handler(BaseHTTPRequestHandler):
                     "class_pixels": {int(i): int(n)
                                      for i, n in zip(idx, cnt)}}
             names = info["manifest"].get("class_names") or []
-            if len(names) == info["num_classes"]:
+            if (len(names) == info["num_classes"]
+                    and len(set(names)) == len(names)):
                 # Artifacts exported with embedded class_names also get the
                 # histogram keyed by label (additive; index keys stay).
+                # Duplicate names would silently merge counts, so the named
+                # view is skipped unless the table is unique (mirrors the
+                # uniqueness assertion in test_class_names.py).
                 resp["class_pixels_named"] = {
                     names[int(i)]: int(n) for i, n in zip(idx, cnt)
                     if 0 <= int(i) < len(names)}

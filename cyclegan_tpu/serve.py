@@ -286,12 +286,13 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
         # Per-class IoU keyed by class name (reference scores() table).
         # Newer artifacts embed their class_names; older manifests fall back
         # to the dataset-convention table (or class_{i}).
-        names = info["manifest"].get("class_names")
-        if not names or len(names) != num_classes:
-            names = class_names(info["manifest"].get("dataset", ""),
-                                num_classes)
+        cls_names = info["manifest"].get("class_names")
+        if not cls_names or len(cls_names) != num_classes:
+            cls_names = class_names(info["manifest"].get("dataset", ""),
+                                    num_classes)
         out["per_class_iou"] = {
-            n: float(v) for n, v in zip(names, np.asarray(s["per_class_iou"]))}
+            n: float(v)
+            for n, v in zip(cls_names, np.asarray(s["per_class_iou"]))}
         with open(os.path.join(output_dir, "scores.json"), "w") as f:
             json.dump({k: v for k, v in out.items() if k != "output_dir"},
                       f, indent=2, sort_keys=True)

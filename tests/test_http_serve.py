@@ -218,6 +218,35 @@ def test_metrics_endpoint(setup):
         srv.server_close()
 
 
+def test_duplicate_class_names_skip_named_histogram(setup, tmp_path):
+    """A manifest shipping duplicate class names must NOT get the named
+    histogram (duplicate keys would silently merge counts and disagree with
+    class_pixels); the index-keyed histogram still answers."""
+    seg_path, _, _, _ = setup
+    dup_path = str(tmp_path / "dup.shlo")
+    import shutil
+    shutil.copy(seg_path, dup_path)
+    with open(seg_path + ".json") as f:
+        manifest = json.load(f)
+    manifest["class_names"] = ["same"] * NUM_CLASSES
+    with open(dup_path + ".json", "w") as f:
+        json.dump(manifest, f)
+    srv = http_serve.make_server(dup_path, port=0)
+    url, _ = _start(srv)
+    try:
+        rng = np.random.default_rng(9)
+        src = rng.integers(0, 256, (H, W, 3), np.uint8)
+        status, _, body = _post(url + "/predict?format=json",
+                                _png_bytes(src))
+        assert status == 200
+        out = json.loads(body)
+        assert "class_pixels" in out
+        assert "class_pixels_named" not in out
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_flip_tta_endpoint(setup):
     """A flip-TTA server (logits artifact) matches flip_avg of the live
     logits fn."""

@@ -80,7 +80,7 @@ def test_serve_matches_live_predictor(artifact, image_dir, tmp_path):
             got, decode_colormap(expect[i].astype(np.uint8)))
 
 
-def test_serve_scores_against_masks(artifact, image_dir, tmp_path):
+def test_serve_scores_against_masks(artifact, image_dir, tmp_path, capsys):
     path, trainer, state = artifact
     gt = tmp_path / "gt"
     gt.mkdir()
@@ -101,6 +101,10 @@ def test_serve_scores_against_masks(artifact, image_dir, tmp_path):
     # Per-class IoU table (reference scores() output), keyed by class name.
     assert len(written["per_class_iou"]) == NUM_CLASSES
     assert all(0.0 <= v <= 1.0 for v in written["per_class_iou"].values())
+    # The user-facing log reports the IMAGE count on the scored path (a
+    # regression once reported num_classes after the class-name lookup
+    # rebound the image-list variable).
+    assert f"served {N_IMAGES} images" in capsys.readouterr().out
 
 
 def test_serve_cli(artifact, image_dir, tmp_path):
