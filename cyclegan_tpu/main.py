@@ -99,24 +99,50 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--gpu_ids", type=str, default=None,
                    help="reference-compat alias: '0,1,2' selects 3 devices "
                         "(maps to --num_devices; TPU chips, not GPUs)")
-    defaults = Config()
-    for f in dataclasses.fields(Config):
-        if f.name in ("bf16",):
+    for name, arg_type in config_flag_types().items():
+        if name == "bf16":
             p.add_argument("--no_bf16", dest="bf16", action="store_false",
                            default=None)
             continue
-        arg_type = {int: int, float: float, str: str}.get(
-            f.type if isinstance(f.type, type) else type(getattr(defaults, f.name)))
-        if arg_type is None and getattr(defaults, f.name) is None:
-            arg_type = {"data_root": str, "profile_dir": str,
-                        "coordinator_address": str, "eval_scales": str,
-                        "lamda_lab": float}.get(f.name, int)
-        if isinstance(getattr(defaults, f.name), bool):
-            p.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true"),
+        if arg_type is bool:
+            p.add_argument(f"--{name}",
+                           type=lambda s: s.lower() in ("1", "true"),
                            default=None)
         else:
-            p.add_argument(f"--{f.name}", type=arg_type or str, default=None)
+            p.add_argument(f"--{name}", type=arg_type, default=None)
     return p.parse_args(argv)
+
+
+def config_flag_types() -> dict[str, type]:
+    """Explicit Config-field -> argparse-type table, synthesized from the
+    dataclass ANNOTATIONS (``typing.get_type_hints`` resolves the
+    ``from __future__ import annotations`` strings; ``Optional[X]``/
+    ``X | None`` unwraps to ``X``). A new field with an unsupported
+    annotation fails LOUDLY at parser construction instead of silently
+    parsing as int (the round-3 fragility: None-default fields fell back to
+    a hand-maintained name->type dict)."""
+    import types
+    import typing
+
+    hints = typing.get_type_hints(Config)
+    out: dict[str, type] = {}
+    for f in dataclasses.fields(Config):
+        t = hints[f.name]
+        if typing.get_origin(t) in (typing.Union, types.UnionType):
+            non_none = [a for a in typing.get_args(t)
+                        if a is not type(None)]
+            if len(non_none) != 1:
+                raise TypeError(
+                    f"Config.{f.name}: can't synthesize a CLI flag for "
+                    f"union annotation {t!r}")
+            t = non_none[0]
+        if t not in (int, float, str, bool):
+            raise TypeError(
+                f"Config.{f.name}: can't synthesize a CLI flag for "
+                f"annotation {t!r} (supported: int, float, str, bool and "
+                f"their Optionals)")
+        out[f.name] = t
+    return out
 
 
 def build_config(args: argparse.Namespace) -> Config:

@@ -160,6 +160,27 @@ def test_concurrent_requests(server, setup):
         np.testing.assert_array_equal(results[i], expect)
 
 
+def test_oversized_body_rejected_without_read(server):
+    """A Content-Length past MAX_BODY_BYTES answers 413 BEFORE the body is
+    read into memory (the handler checks the header, not the payload — a
+    multi-GB upload can't balloon the serving host)."""
+    import http.client
+
+    url, _ = server
+    host, port = url.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        # Declare a 2 GB body but send none: the 413 must come back anyway.
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", str(2 * 1024**3))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "exceeds" in json.load(resp)["error"]
+    finally:
+        conn.close()
+
+
 def test_error_paths(server):
     url, _ = server
     # bad route

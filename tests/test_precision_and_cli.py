@@ -57,3 +57,39 @@ def test_cli_requires_mode():
 
     with pytest.raises(SystemExit):
         main(["--dataset", "synthetic"])
+
+
+def test_flag_types_synthesized_from_annotations():
+    """Every Config field gets a CLI flag typed from its ANNOTATION —
+    Optional fields included (the round-3 fragility: None-default fields
+    silently parsed as int via a hand-maintained dict)."""
+    import dataclasses as dc
+
+    from cyclegan_tpu.main import config_flag_types
+
+    types_ = config_flag_types()
+    assert set(types_) == {f.name for f in dc.fields(Config)}
+    # Optional[float] / Optional[str] unwrap correctly.
+    assert types_["lamda_lab"] is float
+    assert types_["eval_scales"] is str
+    assert types_["data_root"] is str
+    assert types_["num_devices"] is int
+    assert types_["resize_height"] is int
+    assert types_["use_dropout"] is bool
+    # And the parsed values land with the right Python type.
+    args = get_args(["--training", "--lamda_lab", "0.25",
+                     "--eval_scales", "0.75,1.0", "--num_devices", "4"])
+    assert args.lamda_lab == 0.25 and isinstance(args.lamda_lab, float)
+    assert args.eval_scales == "0.75,1.0"
+    assert args.num_devices == 4 and isinstance(args.num_devices, int)
+
+
+def test_bad_flag_value_fails_cleanly():
+    """A mistyped flag value exits with argparse's usage error (code 2),
+    not a deep traceback."""
+    for argv in (["--training", "--lamda_lab", "abc"],
+                 ["--training", "--num_devices", "1.5"],
+                 ["--training", "--resize_height", "tall"]):
+        with pytest.raises(SystemExit) as e:
+            get_args(argv)
+        assert e.value.code == 2
