@@ -37,7 +37,8 @@ import optax
 
 from cyclegan_tpu.models import define_Dis, define_Gen
 from cyclegan_tpu.train import losses, metrics, schedule
-from cyclegan_tpu.train.pool import PoolState, init_pool, pool_query
+from cyclegan_tpu.train.pool import (
+    PoolState, init_pool, pool_query, pool_query_with_decisions)
 from cyclegan_tpu.utils.config import Config
 
 
@@ -287,7 +288,18 @@ class CycleGANTrainer:
         rng, k_img, k_lab = jax.random.split(rng0, 3)
         fake_img = jax.lax.stop_gradient(aux.pop("fake_img"))
         fake_lab = jax.lax.stop_gradient(aux.pop("fake_lab"))
-        if self.cfg.pool_size > 0:
+        if self.cfg.pool_size > 0 and "pool_use_new_img" in batch:
+            # Injected swap decisions (key presence is static at trace time;
+            # production batches never carry these). Makes the pool-ACTIVE
+            # trajectory deterministic and parity-testable against a torch
+            # host pool fed the same decisions (tests/test_pool_parity.py).
+            pool_img, pooled_fake_img = pool_query_with_decisions(
+                state.pool_img, fake_img, batch["pool_use_new_img"],
+                batch["pool_idx_img"])
+            pool_lab, pooled_fake_lab = pool_query_with_decisions(
+                state.pool_lab, fake_lab, batch["pool_use_new_lab"],
+                batch["pool_idx_lab"])
+        elif self.cfg.pool_size > 0:
             pool_img, pooled_fake_img = pool_query(state.pool_img, fake_img, k_img)
             pool_lab, pooled_fake_lab = pool_query(state.pool_lab, fake_lab, k_lab)
         else:

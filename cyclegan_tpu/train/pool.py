@@ -35,37 +35,63 @@ def init_pool(max_size: int, item_shape: tuple[int, ...], dtype=jnp.float32) -> 
     )
 
 
-def pool_query(
-    state: PoolState, items: jax.Array, rng: jax.Array
+def pool_query_with_decisions(
+    state: PoolState, items: jax.Array, use_new: jax.Array,
+    rand_idx: jax.Array,
 ) -> tuple[PoolState, jax.Array]:
-    """Push a batch of items through the pool; returns (new_state, outputs).
+    """Decision-driven pool core: push a batch of items through the pool with
+    the swap decisions SUPPLIED instead of PRNG-drawn.
 
-    ``items`` is (B, H, W, C); outputs have the same shape. jit-safe: all
-    branches are mask-selects, the batch walk is a ``lax.scan``.
+    ``use_new``/``rand_idx`` are (B,) bool / (B,) int32 — one (keep-new?,
+    swap-slot) decision per item. While the pool is filling both are ignored
+    (the reference only draws them once full). This is the single source of
+    the pool semantics — :func:`pool_query` derives its decisions from a PRNG
+    key and delegates here — and the hook that makes the replay stream
+    parity-testable end-to-end against a host-side torch pool fed the SAME
+    injected decisions (tests/test_pool_parity.py).
     """
     max_size = state.buffer.shape[0]
     items = items.astype(state.buffer.dtype)  # bf16 fakes into an fp32 buffer
 
     def step(carry, inp):
         buffer, count = carry
-        item, key = inp
-        k_use, k_idx = jax.random.split(key)
+        item, keep_new, idx = inp
         not_full = count < max_size
-        use_new = jax.random.uniform(k_use) > 0.5
-        rand_idx = jax.random.randint(k_idx, (), 0, max_size)
 
         # Where the new item lands: append slot while filling, else the swap
         # slot (only actually written when swapping).
-        write_idx = jnp.where(not_full, count, rand_idx)
-        do_write = jnp.logical_or(not_full, jnp.logical_not(use_new))
+        write_idx = jnp.where(not_full, count, idx)
+        do_write = jnp.logical_or(not_full, jnp.logical_not(keep_new))
         old = lax.dynamic_index_in_dim(buffer, write_idx, axis=0, keepdims=False)
         new_slot = jnp.where(do_write, item, old)
         buffer = lax.dynamic_update_index_in_dim(buffer, new_slot, write_idx, axis=0)
 
-        out = jnp.where(jnp.logical_or(not_full, use_new), item, old)
+        out = jnp.where(jnp.logical_or(not_full, keep_new), item, old)
         count = jnp.where(not_full, count + 1, count)
         return (buffer, count), out
 
-    keys = jax.random.split(rng, items.shape[0])
-    (buffer, count), outs = lax.scan(step, (state.buffer, state.count), (items, keys))
+    (buffer, count), outs = lax.scan(
+        step, (state.buffer, state.count),
+        (items, use_new.astype(jnp.bool_), rand_idx.astype(jnp.int32)))
     return PoolState(buffer, count), outs
+
+
+def pool_query(
+    state: PoolState, items: jax.Array, rng: jax.Array
+) -> tuple[PoolState, jax.Array]:
+    """Push a batch of items through the pool; returns (new_state, outputs).
+
+    ``items`` is (B, H, W, C); outputs have the same shape. jit-safe: all
+    branches are mask-selects, the batch walk is a ``lax.scan``. Decisions
+    are drawn from ``rng`` (one (use-new?, swap-slot) pair per item) and fed
+    to the decision-driven core above.
+    """
+    max_size = state.buffer.shape[0]
+    b = items.shape[0]
+    keys = jax.random.split(rng, b)
+    k_use = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+    k_idx = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+    use_new = jax.vmap(lambda k: jax.random.uniform(k) > 0.5)(k_use)
+    rand_idx = jax.vmap(
+        lambda k: jax.random.randint(k, (), 0, max_size))(k_idx)
+    return pool_query_with_decisions(state, items, use_new, rand_idx)

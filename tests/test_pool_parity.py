@@ -1,0 +1,184 @@
+"""Pool-ACTIVE end-to-end trajectory parity vs torch (VERDICT round-3 item 1;
+SURVEY.md §2 utilities row "Sample_from_Pool" + §3a pool step).
+
+The replay pool is the one hot-loop component whose mechanism was
+re-designed (host Python list -> device-resident ring buffer updated inside
+the jitted step). Two proof layers:
+
+1. MECHANISM, exact: the device pool and a torch host-list pool fed the
+   same injected (use_new, swap_idx) decision stream produce BIT-IDENTICAL
+   outputs and buffers over a long random query stream (pure selection —
+   no arithmetic, so equality is exact).
+2. WIRING, end-to-end: both frameworks run 25 alternating G/D steps with
+   the pool ON and identical injected decisions. GAN training is chaotic —
+   f32 noise amplifies exponentially through the replay memory (measured:
+   losses match to 1e-6 through the fill phase and the first swaps, then
+   drift smoothly; no step-function jump = no slot/fill semantic break) —
+   so the curve bounds here are statistical envelopes calibrated on the
+   measured run, tight enough that any REAL semantic divergence (which
+   shows up as an O(1) jump at the first full-pool swap) fails loudly.
+"""
+
+import itertools
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from parity_utils import inject_patchgan, inject_resnet_gen  # noqa: E402
+
+from cyclegan_tpu.train.cyclegan import CycleGANTrainer  # noqa: E402
+from cyclegan_tpu.train.pool import (  # noqa: E402
+    init_pool, pool_query_with_decisions)
+from cyclegan_tpu.utils.config import Config  # noqa: E402
+from tools.torch_reference import (  # noqa: E402
+    HostPool, PatchD, ResnetG, train_step as torch_step)
+
+N_CLASSES, SIZE, NGF, NDF, NB = 5, 32, 8, 8, 2
+STEPS = 25
+POOL = 4
+BATCH = 2  # >1: exercises the sequential within-batch pool walk
+
+
+def test_pool_mechanism_bit_parity_vs_host_pool():
+    """100 queries of random items + random decisions: device ring buffer ==
+    torch host list, bit for bit (outputs AND final buffer contents)."""
+    rng = np.random.default_rng(3)
+    pool_j = init_pool(POOL, (4, 4, 2))
+    pool_t = HostPool(POOL)
+    query = jax.jit(pool_query_with_decisions)
+    for step in range(100):
+        items = rng.standard_normal((BATCH, 4, 4, 2)).astype(np.float32)
+        use_new = rng.random(BATCH) > 0.5
+        idx = rng.integers(0, POOL, BATCH)
+        pool_j, out_j = query(pool_j, jnp.asarray(items),
+                              jnp.asarray(use_new),
+                              jnp.asarray(idx, jnp.int32))
+        out_t = pool_t.query(
+            torch.from_numpy(items.transpose(0, 3, 1, 2)),
+            list(zip(use_new, idx)))
+        np.testing.assert_array_equal(
+            np.asarray(out_j), out_t.numpy().transpose(0, 2, 3, 1),
+            err_msg=f"query output diverged at step {step}")
+    assert int(pool_j.count) == len(pool_t.items) == POOL
+    np.testing.assert_array_equal(
+        np.asarray(pool_j.buffer),
+        torch.stack(pool_t.items).numpy().transpose(0, 2, 3, 1),
+        err_msg="final buffer contents diverged")
+
+
+def test_pool_active_trajectory_parity():
+    cfg = Config(gen_net="resnet_6blocks", ngf=NGF, ndf=NDF, bf16=False,
+                 crop_height=SIZE, crop_width=SIZE, batch_size=BATCH,
+                 pool_size=POOL, epochs=200, decay_epoch=100, lamda=10.0)
+    trainer = CycleGANTrainer(cfg, N_CLASSES, 3, steps_per_epoch=1000)
+    trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
+    trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
+
+    torch.manual_seed(0)
+    tmodels = (ResnetG(3, N_CLASSES, NGF, NB, tanh=False),
+               ResnetG(N_CLASSES, 3, NGF, NB, tanh=True),
+               PatchD(3, NDF), PatchD(N_CLASSES, NDF))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = state._replace(
+        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
+        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
+        d_img=inject_patchgan(state.d_img, tmodels[2]),
+        d_lab=inject_patchgan(state.d_lab, tmodels[3]),
+    )
+    state = state._replace(
+        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
+        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
+    )
+    t_opts = (
+        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
+                                         tmodels[1].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
+                                         tmodels[3].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+    )
+
+    g = torch.Generator().manual_seed(42)
+    lab_img_t = torch.randn(BATCH, 3, SIZE, SIZE, generator=g)
+    unlab_img_t = torch.randn(BATCH, 3, SIZE, SIZE, generator=g)
+    lab_lab_t = torch.randint(0, N_CLASSES, (BATCH, SIZE, SIZE), generator=g)
+    lab_oh_t = torch.nn.functional.one_hot(lab_lab_t, N_CLASSES) \
+        .permute(0, 3, 1, 2).float()
+    base_batch = {
+        "lab_image": jnp.asarray(lab_img_t.numpy().transpose(0, 2, 3, 1)),
+        "lab_label": jnp.asarray(lab_lab_t.numpy()).astype(jnp.int32),
+        "unlab_image": jnp.asarray(unlab_img_t.numpy().transpose(0, 2, 3, 1)),
+    }
+
+    # One shared injected decision stream: (use_new, swap_idx) per item per
+    # pool per step. The stream includes genuine swaps AND keep-new cases.
+    dec_rng = np.random.default_rng(7)
+    decisions = dec_rng.random((STEPS, 2, BATCH)) > 0.5       # (step, pool, B)
+    swap_idx = dec_rng.integers(0, POOL, (STEPS, 2, BATCH))
+    assert not decisions[2:].all() and not (~decisions[2:]).all(), \
+        "decision stream degenerated"
+
+    t_pools = (HostPool(POOL), HostPool(POOL))
+    step_jit = jax.jit(trainer.train_step, donate_argnums=0)
+
+    j_curve = {"g_total": [], "d_total": []}
+    t_curve = {"g_total": [], "d_total": []}
+    for s in range(STEPS):
+        batch = dict(
+            base_batch,
+            pool_use_new_img=jnp.asarray(decisions[s, 0]),
+            pool_idx_img=jnp.asarray(swap_idx[s, 0], jnp.int32),
+            pool_use_new_lab=jnp.asarray(decisions[s, 1]),
+            pool_idx_lab=jnp.asarray(swap_idx[s, 1], jnp.int32),
+        )
+        state, m = step_jit(state, batch)
+        tm = torch_step(
+            tmodels, t_opts, (lab_img_t, lab_lab_t, unlab_img_t, lab_oh_t),
+            pools=t_pools,
+            pool_decisions=(
+                list(zip(decisions[s, 0], swap_idx[s, 0])),
+                list(zip(decisions[s, 1], swap_idx[s, 1]))))
+        for k in j_curve:
+            j_curve[k].append(float(m[k]))
+            t_curve[k].append(tm[k])
+        if s <= 3:
+            # Through the fill phase and the FIRST full-pool swaps the
+            # trajectories must still be numerically tight — a fill/slot
+            # semantic break shows up HERE as an O(1) jump, before chaos
+            # has amplified anything.
+            assert abs(j_curve["d_total"][-1] - t_curve["d_total"][-1]) \
+                < 1e-3, (s, j_curve["d_total"][-1], t_curve["d_total"][-1])
+
+    # Whole-curve statistical envelopes (calibrated: measured mean rel
+    # g-divergence ~0.1%, max ~0.4%; d_total shrinks to ~0.05 so it is
+    # bounded absolutely — measured mean abs ~0.005, max ~0.02).
+    j, t = np.array(j_curve["g_total"]), np.array(t_curve["g_total"])
+    rel = np.abs(j - t) / np.maximum(np.abs(t), 1e-6)
+    assert rel.mean() < 0.005 and rel.max() < 0.015, \
+        ("g_total", rel.mean(), rel.max())
+    j, t = np.array(j_curve["d_total"]), np.array(t_curve["d_total"])
+    diff = np.abs(j - t)
+    assert diff.mean() < 0.01 and diff.max() < 0.05, \
+        ("d_total", diff.mean(), diff.max())
+
+    # Structural parity of the replay memories: same fill count, and each
+    # slot holds the counterpart fake within the chaos-drift envelope.
+    # (Slot IDENTITY is proven bit-exactly by the mechanism test above —
+    # with a fixed input batch, fakes from adjacent steps are nearly
+    # identical, so content distance can't disambiguate slots here; what
+    # this bounds is that no slot holds something from a different ERA of
+    # training, whose distance would be O(1) on the tanh-bounded fakes.)
+    for pool_state, host, name in ((state.pool_img, t_pools[0], "img"),
+                                   (state.pool_lab, t_pools[1], "lab")):
+        assert int(pool_state.count) == len(host.items) == POOL
+        got = np.asarray(pool_state.buffer, np.float32)
+        want = torch.stack(host.items).numpy().transpose(0, 2, 3, 1)
+        d_self = np.abs(got - want).mean(axis=(1, 2, 3))
+        assert (d_self < 0.2).all(), (f"pool_{name} per-slot mean drift "
+                                      f"{d_self} exceeds the envelope")

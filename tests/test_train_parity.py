@@ -104,3 +104,81 @@ def test_three_step_cyclegan_parity():
         trainer.D_img.apply(state.d_img, batch["unlab_image"])
     ).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got_d, ref_d, atol=2e-3)
+
+
+def test_thirty_step_curve_parity():
+    """Long-horizon G-loss CURVE parity in CI (VERDICT r3 item 2 — the
+    strongest semantic guarantee used to live only in the manual
+    tools/cyclegan_parity_run.py re-run): 30 alternating steps, per-step
+    G-loss trajectories within the measured f32 envelope (the 50-step tool
+    run measures mean 0.31% / max 1.4%), plus final-forward closeness."""
+    cfg = Config(gen_net="resnet_6blocks", ngf=NGF, ndf=NDF, bf16=False,
+                 crop_height=SIZE, crop_width=SIZE, batch_size=1,
+                 pool_size=0, epochs=200, decay_epoch=100, lamda=10.0)
+    trainer = CycleGANTrainer(cfg, N_CLASSES, 3, steps_per_epoch=1000)
+    trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
+    trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
+
+    tmodels = build_torch()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = state._replace(
+        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
+        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
+        d_img=inject_patchgan(state.d_img, tmodels[2]),
+        d_lab=inject_patchgan(state.d_lab, tmodels[3]),
+    )
+    state = state._replace(
+        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
+        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
+    )
+    t_opts = (
+        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
+                                         tmodels[1].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
+                                         tmodels[3].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+    )
+
+    g = torch.Generator().manual_seed(42)
+    lab_img_t = torch.randn(1, 3, SIZE, SIZE, generator=g)
+    unlab_img_t = torch.randn(1, 3, SIZE, SIZE, generator=g)
+    lab_lab_t = torch.randint(0, N_CLASSES, (1, SIZE, SIZE), generator=g)
+    lab_oh_t = torch.nn.functional.one_hot(lab_lab_t, N_CLASSES) \
+        .permute(0, 3, 1, 2).float()
+    batch = {
+        "lab_image": jnp.asarray(lab_img_t.numpy().transpose(0, 2, 3, 1)),
+        "lab_label": jnp.asarray(lab_lab_t.numpy()).astype(jnp.int32),
+        "unlab_image": jnp.asarray(unlab_img_t.numpy().transpose(0, 2, 3, 1)),
+    }
+    step_jit = jax.jit(trainer.train_step, donate_argnums=0)
+
+    j_curve, t_curve = [], []
+    for _ in range(30):
+        state, m = step_jit(state, batch)
+        j_curve.append(float(m["g_total"]))
+        tm = torch_step(tmodels, t_opts,
+                        (lab_img_t, lab_lab_t, unlab_img_t, lab_oh_t))
+        # torch step metrics are computed during the update from pre-update
+        # params — same convention as the jax metrics dict.
+        t_curve.append(tm["g_total"])
+
+    j, t = np.array(j_curve), np.array(t_curve)
+    rel = np.abs(j - t) / np.maximum(np.abs(t), 1e-6)
+    assert rel.mean() < 0.01, (rel.mean(), list(rel))
+    assert rel.max() < 0.02, (rel.max(), list(rel))
+
+    # After 30 chaotic GAN steps elementwise logit closeness is not a
+    # meaningful pin (f32 noise amplifies exponentially; the 3-step test
+    # above owns the tight-forward guarantee). What must survive is the
+    # PREDICTION: both trained segmenters label the same pixels the same
+    # way (the tool's mIoU-delta certification, in-suite).
+    with torch.no_grad():
+        ref_pred = tmodels[0](lab_img_t).argmax(1).numpy()
+    got_pred = np.asarray(jnp.argmax(
+        trainer.G_i2l.apply(state.g_i2l, batch["lab_image"]), -1))
+    # Measured 0.915 (the input is pure noise, so logits are near-uniform
+    # and argmax flips on tiny drift; a semantic break drops this to ~1/N
+    # ≈ 0.2). Protocol-scale certification is the tool's mIoU delta.
+    agreement = (got_pred == ref_pred).mean()
+    assert agreement > 0.85, f"argmax agreement {agreement:.3f}"

@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--classes", type=int, default=5)
     ap.add_argument("--ngf", type=int, default=8)
     ap.add_argument("--n_blocks", type=int, default=2)
+    ap.add_argument("--pool", type=int, default=0,
+                    help="replay-pool size; >0 runs the POOL-ACTIVE loop on "
+                         "both frameworks with identical injected swap "
+                         "decisions (VERDICT r3 item 1)")
     args = ap.parse_args()
 
     N, S, NB = args.classes, args.size, args.n_blocks
@@ -62,7 +66,7 @@ def main() -> None:
 
     cfg = Config(gen_net="resnet_6blocks", ngf=args.ngf, ndf=args.ngf,
                  bf16=False, crop_height=S, crop_width=S, batch_size=1,
-                 pool_size=0, epochs=10_000, decay_epoch=5_000)
+                 pool_size=args.pool, epochs=10_000, decay_epoch=5_000)
     trainer = CycleGANTrainer(cfg, N, 3, steps_per_epoch=1)
     trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
     trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
@@ -89,15 +93,40 @@ def main() -> None:
         "unlab_image": jnp.asarray(unlab_img.numpy().transpose(0, 2, 3, 1)),
     }
 
+    # Pool-active mode: identical injected swap decisions drive both
+    # frameworks' replay pools (the torch host list and the jax device ring
+    # buffer) — the pooled D-input stream is then deterministic and shared.
+    if args.pool > 0:
+        from tools.torch_reference import HostPool
+
+        dec_rng = np.random.default_rng(7)
+        use_new = dec_rng.random((args.steps, 2, 1)) > 0.5
+        swap_idx = dec_rng.integers(0, args.pool, (args.steps, 2, 1))
+        t_pools = (HostPool(args.pool), HostPool(args.pool))
+
     step = jax.jit(trainer.train_step, donate_argnums=0)
-    j_curve, t_curve = [], []
-    for _ in range(args.steps):
-        state, m = step(state, batch)
+    j_curve, t_curve, d_j, d_t = [], [], [], []
+    for s in range(args.steps):
+        if args.pool > 0:
+            b = dict(batch,
+                     pool_use_new_img=jnp.asarray(use_new[s, 0]),
+                     pool_idx_img=jnp.asarray(swap_idx[s, 0], jnp.int32),
+                     pool_use_new_lab=jnp.asarray(use_new[s, 1]),
+                     pool_idx_lab=jnp.asarray(swap_idx[s, 1], jnp.int32))
+            pool_kw = dict(pools=t_pools, pool_decisions=(
+                list(zip(use_new[s, 0], swap_idx[s, 0])),
+                list(zip(use_new[s, 1], swap_idx[s, 1]))))
+        else:
+            b, pool_kw = batch, {}
+        state, m = step(state, b)
         j_curve.append(float(m["g_total"]))
+        d_j.append(float(m["d_total"]))
         # instrument the torch step's G loss identically
         t_curve.append(_torch_g_loss(tmodels, batch_t=(lab_img, lab_lab,
                                                        unlab_img, lab_oh)))
-        torch_step_impl(tmodels, t_opts, (lab_img, lab_lab, unlab_img, lab_oh))
+        tm = torch_step_impl(tmodels, t_opts,
+                             (lab_img, lab_lab, unlab_img, lab_oh), **pool_kw)
+        d_t.append(tm["d_total"])
 
     j, t = np.array(j_curve), np.array(t_curve)
     # jax metric is computed DURING the step (pre-update); torch probe is also
@@ -130,12 +159,16 @@ def main() -> None:
     miou_j = float(metrics_lib.scores(jnp.asarray(hist_j))["miou"])
     miou_t = float(metrics_lib.scores(jnp.asarray(hist_t))["miou"])
 
+    dj, dt = np.array(d_j), np.array(d_t)
     print(json.dumps({
         "steps": args.steps,
+        "pool": args.pool,
         "final_jax_g": round(float(j[-1]), 4),
         "final_torch_g": round(float(t[-1]), 4),
         "max_rel_divergence": round(float(rel.max()), 5),
         "mean_rel_divergence": round(float(rel.mean()), 6),
+        "d_mean_abs_divergence": round(float(np.abs(dj - dt).mean()), 6),
+        "d_max_abs_divergence": round(float(np.abs(dj - dt).max()), 6),
         "jax_miou": round(miou_j, 4),
         "torch_miou": round(miou_t, 4),
         "miou_delta": round(miou_j - miou_t, 4),

@@ -147,8 +147,49 @@ def build(num_classes=21, in_ch=3, ngf=64, ndf=64, n_blocks=9):
     return G_i2l, G_l2i, D_img, D_lab
 
 
-def train_step(models, opts, batch, lamda=10.0):
-    """One G+D alternating update with the reference's loss structure."""
+class HostPool:
+    """Reference ``Sample_from_Pool`` semantics as a host-side list (the
+    reference keeps the replay pool in Python — SURVEY.md §2 utilities row).
+
+    Per incoming fake: while the pool has fewer than ``max_size`` items,
+    store and return the new one; once full, either return the new one
+    untouched (use_new) or swap it with stored item ``idx`` (return the old,
+    store the new). Decisions are INJECTED — ``query`` takes one
+    (use_new, idx) pair per item — so the same decision stream can drive
+    this host pool and the jax device pool
+    (cyclegan_tpu.train.pool.pool_query_with_decisions) for end-to-end
+    replay parity (tests/test_pool_parity.py).
+    """
+
+    def __init__(self, max_size: int):
+        self.max_size = max_size
+        self.items: list[torch.Tensor] = []
+
+    def query(self, batch: torch.Tensor, decisions) -> torch.Tensor:
+        outs = []
+        for item, (use_new, idx) in zip(batch, decisions):
+            item = item.detach().clone()
+            if len(self.items) < self.max_size:
+                self.items.append(item)
+                outs.append(item)
+            elif use_new:
+                outs.append(item)
+            else:
+                old = self.items[int(idx)]
+                self.items[int(idx)] = item
+                outs.append(old)
+        return torch.stack(outs)
+
+
+def train_step(models, opts, batch, lamda=10.0, pools=None,
+               pool_decisions=None):
+    """One G+D alternating update with the reference's loss structure.
+
+    ``pools=(img_pool, lab_pool)`` (HostPool) + ``pool_decisions=
+    (img_decisions, lab_decisions)`` route the detached fakes through the
+    replay pools before the D step — the reference's pool-active hot loop.
+    Default None keeps the pool-free path (the conservative throughput
+    denominator — see the D-step comment below)."""
     G_i2l, G_l2i, D_img, D_lab = models
     g_opt, d_opt = opts
     lab_img, lab_lab, unlab_img, lab_oh = batch
@@ -173,18 +214,31 @@ def train_step(models, opts, batch, lamda=10.0):
     for p in itertools.chain(D_img.parameters(), D_lab.parameters()):
         p.requires_grad_(True)
 
-    # D step (no pool here — pool adds host work in the reference; omitting it
-    # makes this baseline *faster*, i.e. conservative for the >=8x target)
+    # D step (no pool by default — pool adds host work in the reference;
+    # omitting it makes this baseline *faster*, i.e. conservative for the
+    # >=8x target. Pass pools+pool_decisions for the pool-active loop.)
     d_opt.zero_grad()
     fl, fi = fake_lab.detach(), fake_img.detach()
+    if pools is not None:
+        img_pool, lab_pool = pools
+        dec_img, dec_lab = pool_decisions
+        fi = img_pool.query(fi, dec_img)
+        fl = lab_pool.query(fl, dec_lab)
     di_real, di_fake = D_img(unlab_img), D_img(fi)
     dl_real, dl_fake = D_lab(lab_oh), D_lab(fl)
-    d_loss = 0.5 * (mse(di_real, torch.ones_like(di_real))
-                    + mse(di_fake, torch.zeros_like(di_fake))) + \
-             0.5 * (mse(dl_real, torch.ones_like(dl_real))
-                    + mse(dl_fake, torch.zeros_like(dl_fake)))
+    d_img_loss = 0.5 * (mse(di_real, torch.ones_like(di_real))
+                        + mse(di_fake, torch.zeros_like(di_fake)))
+    d_lab_loss = 0.5 * (mse(dl_real, torch.ones_like(dl_real))
+                        + mse(dl_fake, torch.zeros_like(dl_fake)))
+    d_loss = d_img_loss + d_lab_loss
     d_loss.backward()
     d_opt.step()
+    # Loss values as computed during the update (pre-update params on both
+    # phases — same convention as the jax step's metrics dict).
+    return {"g_total": float(adv + cyc_img + cyc_lab + sup),
+            "g_adv": float(adv), "g_sup": float(sup),
+            "d_img": float(d_img_loss), "d_lab": float(d_lab_loss),
+            "d_total": float(d_loss)}
 
 
 def measure(size=256, batch=1, steps=3, warmup=1, num_classes=21):
