@@ -48,7 +48,18 @@ def main() -> None:
     ap.add_argument("--n_blocks", type=int, default=6)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--classes", type=int, default=21)
+    ap.add_argument("--semisup", action="store_true",
+                    help="run the FULL semi-sup CycleGAN protocol (both "
+                         "frameworks, replay pools ON with identical "
+                         "injected swap decisions — VERDICT r3 item 7) "
+                         "instead of the supervised CE protocol")
+    ap.add_argument("--pool", type=int, default=8,
+                    help="pool size for --semisup")
     args = ap.parse_args()
+
+    if args.semisup:
+        run_semisup(args)
+        return
 
     # ---- identical data: pre-materialized fixed-seed batches
     train_ds = make_dataset("synthetic", split="train", size=64)
@@ -125,6 +136,140 @@ def main() -> None:
         "delta": round(j_miou - t_miou, 4),
         "jax_pixel_acc": round(j_pa, 4), "torch_pixel_acc": round(t_pa, 4),
         "steps": args.steps, "size": args.size,
+    }))
+
+
+def run_semisup(args) -> None:
+    """300-step semi-sup CycleGAN mIoU protocol, pools ON (VERDICT r3
+    item 7): both frameworks train the full alternating G/D loop from
+    identical injected weights on identical pre-materialized labeled/
+    unlabeled batch streams, with the replay pools driven by ONE injected
+    (use_new, swap_idx) decision stream; the trained G_i2l segmenters are
+    then scored on the same validation set. Gate: |Δ mIoU| <= 0.5 pts."""
+    import itertools
+
+    from parity_utils import inject_patchgan
+
+    from cyclegan_tpu.train.cyclegan import CycleGANTrainer
+    from tools.torch_reference import (
+        HostPool, PatchD, train_step as torch_step)
+
+    N, S, B, NB = args.classes, args.size, args.batch, args.n_blocks
+
+    # ---- identical data: labeled (image+label) and unlabeled streams
+    train_ds = make_dataset("synthetic", split="train", size=64)
+    val_ds = make_dataset("synthetic", split="val", size=24)
+    lab_loader = Loader(train_ds, batch_size=B, crop_hw=(S, S), train=True,
+                        seed=0)
+    unlab_loader = Loader(train_ds, batch_size=B, crop_hw=(S, S), train=True,
+                          seed=1)
+
+    def materialize(loader, n):
+        out, e = [], 0
+        while len(out) < n:
+            for b in loader.epoch(e):
+                out.append(b)
+                if len(out) >= n:
+                    break
+            e += 1
+        return out
+
+    lab_batches = materialize(lab_loader, args.steps)
+    unlab_batches = materialize(unlab_loader, args.steps)
+    val_batches = list(Loader(val_ds, batch_size=B, crop_hw=(S, S),
+                              train=False, drop_last=False).epoch(0))
+
+    # ---- identical init
+    torch.manual_seed(0)
+    tmodels = (ResnetG(3, N, args.ngf, NB, tanh=False),
+               ResnetG(N, 3, args.ngf, NB, tanh=True),
+               PatchD(3, args.ngf), PatchD(N, args.ngf))
+    t_opts = (
+        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
+                                         tmodels[1].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
+                                         tmodels[3].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+    )
+    cfg = Config(gen_net="resnet_6blocks", ngf=args.ngf, ndf=args.ngf,
+                 bf16=False, crop_height=S, crop_width=S, batch_size=B,
+                 pool_size=args.pool, epochs=10_000, decay_epoch=5_000)
+    trainer = CycleGANTrainer(cfg, N, 3, steps_per_epoch=1)
+    trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
+    trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = state._replace(
+        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
+        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
+        d_img=inject_patchgan(state.d_img, tmodels[2]),
+        d_lab=inject_patchgan(state.d_lab, tmodels[3]),
+    )
+    state = state._replace(
+        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
+        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
+    )
+
+    # ---- one injected decision stream for both frameworks' pools
+    dec_rng = np.random.default_rng(7)
+    use_new = dec_rng.random((args.steps, 2, B)) > 0.5
+    swap_idx = dec_rng.integers(0, args.pool, (args.steps, 2, B))
+    t_pools = (HostPool(args.pool), HostPool(args.pool))
+
+    step = jax.jit(trainer.train_step, donate_argnums=0)
+    for s in range(args.steps):
+        lb, ub = lab_batches[s], unlab_batches[s]
+        batch = {
+            "lab_image": jnp.asarray(lb["image"]),
+            "lab_label": jnp.asarray(lb["label"]).astype(jnp.int32),
+            "unlab_image": jnp.asarray(ub["image"]),
+            "pool_use_new_img": jnp.asarray(use_new[s, 0]),
+            "pool_idx_img": jnp.asarray(swap_idx[s, 0], jnp.int32),
+            "pool_use_new_lab": jnp.asarray(use_new[s, 1]),
+            "pool_idx_lab": jnp.asarray(swap_idx[s, 1], jnp.int32),
+        }
+        state, _ = step(state, batch)
+
+        lab_img = torch.from_numpy(lb["image"].transpose(0, 3, 1, 2).copy())
+        lab_lab = torch.from_numpy(lb["label"].astype(np.int64))
+        unlab_img = torch.from_numpy(ub["image"].transpose(0, 3, 1, 2).copy())
+        lab_oh = torch.nn.functional.one_hot(
+            torch.where(lab_lab == 255, 0, lab_lab), N
+        ).permute(0, 3, 1, 2).float() * (lab_lab != 255)[:, None]
+        torch_step(tmodels, t_opts, (lab_img, lab_lab, unlab_img, lab_oh),
+                   pools=t_pools,
+                   pool_decisions=(list(zip(use_new[s, 0], swap_idx[s, 0])),
+                                   list(zip(use_new[s, 1], swap_idx[s, 1]))))
+
+    # ---- identical eval of the trained segmenters
+    def eval_scores(predict):
+        hist = np.zeros((N, N), np.int64)
+        for b in val_batches:
+            pred = predict(b["image"])
+            hist += np.asarray(metrics_lib.confusion_matrix(
+                jnp.asarray(pred), jnp.asarray(b["label"]), N))
+        s = metrics_lib.scores(jnp.asarray(hist))
+        return float(s["miou"]), float(s["pixel_acc"])
+
+    jax_pred = jax.jit(lambda img: jnp.argmax(
+        trainer.G_i2l.apply(state.g_i2l, img), axis=-1))
+    j_miou, j_pa = eval_scores(
+        lambda img: np.asarray(jax_pred(jnp.asarray(img))))
+    tmodels[0].eval()
+
+    def torch_pred(img):
+        with torch.no_grad():
+            logits = tmodels[0](torch.from_numpy(
+                img.transpose(0, 3, 1, 2).copy()))
+        return logits.argmax(1).numpy()
+
+    t_miou, t_pa = eval_scores(torch_pred)
+    print(json.dumps({
+        "protocol": "semisup_pool_active",
+        "jax_miou": round(j_miou, 4), "torch_miou": round(t_miou, 4),
+        "delta": round(j_miou - t_miou, 4),
+        "jax_pixel_acc": round(j_pa, 4), "torch_pixel_acc": round(t_pa, 4),
+        "steps": args.steps, "size": args.size, "pool": args.pool,
     }))
 
 
