@@ -65,3 +65,49 @@ def inject_patchgan(params, tmodel):
         new[f"ConvBlock_{k}"] = _merge(p, f"ConvBlock_{k}", c)
     assert len(convs) == len(p)
     return {**params, "params": new}
+
+
+def inject_pixeld(params, tmodel):
+    """Overwrite Flax PixelDiscriminator conv weights with a torch PixelD's."""
+    convs = [m for m in tmodel.net if isinstance(m, torch.nn.Conv2d)]
+    p = params["params"]
+    new = {f"ConvBlock_{k}": _merge(p, f"ConvBlock_{k}", c)
+           for k, c in enumerate(convs)}
+    assert len(convs) == len(p)
+    return {**params, "params": new}
+
+
+def _torch_unet_block_parts(block):
+    from tools.torch_reference import UnetBlock
+
+    down = up = sub = None
+    for m in block.model:
+        if isinstance(m, torch.nn.Conv2d) and down is None:
+            down = m
+        elif isinstance(m, torch.nn.ConvTranspose2d):
+            up = m
+        elif isinstance(m, UnetBlock):
+            sub = m
+    return down, up, sub
+
+
+def inject_unet(params: dict, tmodel) -> dict:
+    """Overwrite Flax UnetGenerator conv weights with a torch UnetG's.
+
+    Flax registers the blocks flat on the generator in creation order
+    (innermost = _UnetBlock_0 ... outermost = last); torch nests outermost
+    down. Walk the torch nesting and assign by reversed index."""
+    n = len([k for k in params["params"] if k.startswith("_UnetBlock")])
+    new = dict(params["params"])
+    tblock, depth = tmodel.model, 0
+    while tblock is not None:
+        down, up, sub = _torch_unet_block_parts(tblock)
+        name = f"_UnetBlock_{n - 1 - depth}"
+        new[name] = {
+            **new.get(name, {}),
+            "down_kernel": conv_w(down.weight), "down_bias": bias(down.bias),
+            "up_kernel": deconv_w(up.weight), "up_bias": bias(up.bias),
+        }
+        tblock, depth = sub, depth + 1
+    assert depth == n
+    return {**params, "params": new}

@@ -15,15 +15,18 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from parity_utils import inject_patchgan, inject_resnet_gen  # noqa: E402
+from parity_utils import (inject_patchgan, inject_pixeld,  # noqa: E402
+                          inject_resnet_gen, inject_unet)
 
 from cyclegan_tpu.train.cyclegan import CycleGANTrainer  # noqa: E402
 from cyclegan_tpu.utils.config import Config  # noqa: E402
-from tools.torch_reference import PatchD, ResnetG, train_step as torch_step  # noqa: E402
+from tools.torch_reference import (PatchD, PixelD, ResnetG,  # noqa: E402
+                                   UnetG, train_step as torch_step)
 
 N_CLASSES, SIZE, NGF, NDF, NB = 5, 32, 8, 8, 2
 STEPS = 3
@@ -182,3 +185,101 @@ def test_thirty_step_curve_parity():
     # ≈ 0.2). Protocol-scale certification is the tool's mIoU delta.
     agreement = (got_pred == ref_pred).mean()
     assert agreement > 0.85, f"argmax agreement {agreement:.3f}"
+
+
+@pytest.mark.parametrize("leg", ["acdc", "unet_pixel", "batch_norm"])
+def test_three_step_parity_config_legs(leg):
+    """3-step trajectory parity for the non-flagship config families
+    (tools/cyclegan_parity_run.py owns the 50-step versions):
+
+    - acdc: 1-channel grayscale images, 4 classes (SURVEY.md §2 data row,
+      the ACDC cardiac-MRI config [B config 4]).
+    - unet_pixel: UnetGenerator + PixelDiscriminator zoo pairing
+      (SURVEY.md §2 generator/discriminator rows).
+    - batch_norm: norm='batch' end-to-end — BatchNorm EMAs recorded during
+      the G phase's D forwards and threaded into the D phase (the
+      full-step stat parity lives in test_batchnorm_parity.py; this pins
+      the multi-step TRAJECTORY).
+    """
+    n_classes, ch = (4, 1) if leg == "acdc" else (N_CLASSES, 3)
+    norm = "batch" if leg == "batch_norm" else "instance"
+    tnorm = torch.nn.BatchNorm2d if norm == "batch" else torch.nn.InstanceNorm2d
+    torch.manual_seed(0)
+    if leg == "unet_pixel":
+        downs = 5  # 32x32 -> 1x1 bottleneck
+        tmodels = (UnetG(ch, n_classes, num_downs=downs, ngf=NGF, tanh=False),
+                   UnetG(n_classes, ch, num_downs=downs, ngf=NGF, tanh=True),
+                   PixelD(ch, NDF), PixelD(n_classes, NDF))
+        cfg_gen, cfg_dis = "unet_128", "pixel"
+        inject_g, inject_d = inject_unet, inject_pixeld
+    else:
+        tmodels = (ResnetG(ch, n_classes, NGF, NB, tanh=False, norm=tnorm),
+                   ResnetG(n_classes, ch, NGF, NB, tanh=True, norm=tnorm),
+                   PatchD(ch, NDF, norm=tnorm), PatchD(n_classes, NDF, norm=tnorm))
+        cfg_gen, cfg_dis = "resnet_6blocks", "n_layers"
+        inject_g = lambda p, t: inject_resnet_gen(p, t, NB)  # noqa: E731
+        inject_d = inject_patchgan
+
+    cfg = Config(gen_net=cfg_gen, dis_net=cfg_dis, norm=norm, ngf=NGF, ndf=NDF,
+                 bf16=False, crop_height=SIZE, crop_width=SIZE, batch_size=1,
+                 pool_size=0, epochs=200, decay_epoch=100, lamda=10.0)
+    trainer = CycleGANTrainer(cfg, n_classes, ch, steps_per_epoch=1000)
+    if leg == "unet_pixel":
+        trainer.G_i2l = trainer.G_i2l.clone(num_downs=downs)
+        trainer.G_l2i = trainer.G_l2i.clone(num_downs=downs)
+    else:
+        trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
+        trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
+
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = state._replace(
+        g_i2l=inject_g(state.g_i2l, tmodels[0]),
+        g_l2i=inject_g(state.g_l2i, tmodels[1]),
+        d_img=inject_d(state.d_img, tmodels[2]),
+        d_lab=inject_d(state.d_lab, tmodels[3]),
+    )
+    state = state._replace(
+        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
+        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
+    )
+    t_opts = (
+        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
+                                         tmodels[1].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
+                                         tmodels[3].parameters()),
+                         2e-4, betas=(0.5, 0.999)),
+    )
+
+    g = torch.Generator().manual_seed(42)
+    lab_img_t = torch.randn(1, ch, SIZE, SIZE, generator=g)
+    unlab_img_t = torch.randn(1, ch, SIZE, SIZE, generator=g)
+    lab_lab_t = torch.randint(0, n_classes, (1, SIZE, SIZE), generator=g)
+    lab_oh_t = torch.nn.functional.one_hot(lab_lab_t, n_classes) \
+        .permute(0, 3, 1, 2).float()
+    batch = {
+        "lab_image": jnp.asarray(lab_img_t.numpy().transpose(0, 2, 3, 1)),
+        "lab_label": jnp.asarray(lab_lab_t.numpy()).astype(jnp.int32),
+        "unlab_image": jnp.asarray(unlab_img_t.numpy().transpose(0, 2, 3, 1)),
+    }
+    step_jit = jax.jit(trainer.train_step, donate_argnums=0)
+
+    for _ in range(STEPS):
+        state, m = step_jit(state, batch)
+        tm = torch_step(tmodels, t_opts,
+                        (lab_img_t, lab_lab_t, unlab_img_t, lab_oh_t))
+        # Per-step loss parity (pre-update convention on both sides).
+        np.testing.assert_allclose(float(m["g_total"]), tm["g_total"],
+                                   rtol=2e-3)
+        np.testing.assert_allclose(float(m["d_total"]), tm["d_total"],
+                                   rtol=1e-2, atol=1e-3)
+
+    # Final forward of the trained segmenter (eval mode on both sides —
+    # under norm=batch this also exercises the trained running stats).
+    tmodels[0].eval()
+    with torch.no_grad():
+        ref_logits = tmodels[0](lab_img_t).numpy()
+    got_logits = np.asarray(
+        trainer.G_i2l.apply(state.g_i2l, batch["lab_image"])
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got_logits, ref_logits, atol=5e-3)

@@ -11,40 +11,10 @@ import torch
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from parity_utils import bias, conv_w, deconv_w  # noqa: E402
+from parity_utils import inject_pixeld, inject_unet  # noqa: E402
 
 from cyclegan_tpu.models import UnetGenerator, define_Dis  # noqa: E402
-from tools.torch_reference import PixelD, UnetBlock, UnetG  # noqa: E402
-
-
-def _torch_block_parts(block: UnetBlock):
-    down = up = sub = None
-    for m in block.model:
-        if isinstance(m, torch.nn.Conv2d) and down is None:
-            down = m
-        elif isinstance(m, torch.nn.ConvTranspose2d):
-            up = m
-        elif isinstance(m, UnetBlock):
-            sub = m
-    return down, up, sub
-
-
-def inject_unet(params: dict, tmodel: UnetG) -> dict:
-    """Flax registers the blocks flat on the generator in creation order
-    (innermost = _UnetBlock_0 ... outermost = last); torch nests outermost
-    down. Walk the torch nesting and assign by reversed index."""
-    n = len([k for k in params["params"] if k.startswith("_UnetBlock")])
-    new = dict(params["params"])
-    tblock, depth = tmodel.model, 0
-    while tblock is not None:
-        down, up, sub = _torch_block_parts(tblock)
-        new[f"_UnetBlock_{n - 1 - depth}"] = {
-            "down_kernel": conv_w(down.weight), "down_bias": bias(down.bias),
-            "up_kernel": deconv_w(up.weight), "up_bias": bias(up.bias),
-        }
-        tblock, depth = sub, depth + 1
-    assert depth == n
-    return {"params": new}
+from tools.torch_reference import PixelD, UnetG  # noqa: E402
 
 
 def test_unet_matches_torch():
@@ -69,10 +39,8 @@ def test_pixel_discriminator_matches_torch():
     x = torch.randn(2, 3, 16, 16, generator=torch.Generator().manual_seed(3))
     xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
     params = jmodel.init(jax.random.PRNGKey(0), xj)
-    convs = [m for m in tmodel.net if isinstance(m, torch.nn.Conv2d)]
-    new = {f"ConvBlock_{i}": {"kernel": conv_w(c.weight), "bias": bias(c.bias)}
-           for i, c in enumerate(convs)}
-    got = np.asarray(jmodel.apply({"params": new}, xj)).transpose(0, 3, 1, 2)
+    params = inject_pixeld(params, tmodel)
+    got = np.asarray(jmodel.apply(params, xj)).transpose(0, 3, 1, 2)
     with torch.no_grad():
         ref = tmodel(x).numpy()
     np.testing.assert_allclose(got, ref, atol=5e-5)

@@ -6,6 +6,11 @@ fixed batches, and reports the per-step G-loss trajectories and their final
 divergence. Extends tests/test_train_parity.py (3 steps) to a meaningful
 horizon for BASELINE.md.
 
+Config legs beyond the flagship ResNet+PatchGAN/instance one:
+  --channels 1 --classes 4   the ACDC grayscale config family
+  --gen_net unet --dis_net pixel   the U-Net + PixelD zoo pairing
+  --norm batch               BatchNorm EMAs threaded through the whole run
+
 Prints one JSON line.
 Run: python tools/cyclegan_parity_run.py [--steps 50]
 """
@@ -29,11 +34,12 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import torch  # noqa: E402
 
-from parity_utils import inject_patchgan, inject_resnet_gen  # noqa: E402
+from parity_utils import (inject_patchgan, inject_pixeld,  # noqa: E402
+                          inject_resnet_gen, inject_unet)
 
 from cyclegan_tpu.train.cyclegan import CycleGANTrainer  # noqa: E402
 from cyclegan_tpu.utils.config import Config  # noqa: E402
-from tools.torch_reference import PatchD, ResnetG  # noqa: E402
+from tools.torch_reference import PatchD, PixelD, ResnetG, UnetG  # noqa: E402
 from tools.torch_reference import train_step as torch_step_impl  # noqa: E402
 
 
@@ -48,13 +54,35 @@ def main() -> None:
                     help="replay-pool size; >0 runs the POOL-ACTIVE loop on "
                          "both frameworks with identical injected swap "
                          "decisions (VERDICT r3 item 1)")
+    ap.add_argument("--channels", type=int, default=3,
+                    help="image channels (1 = the ACDC grayscale config)")
+    ap.add_argument("--gen_net", choices=["resnet", "unet"], default="resnet")
+    ap.add_argument("--dis_net", choices=["patch", "pixel"], default="patch")
+    ap.add_argument("--norm", choices=["instance", "batch"], default="instance",
+                    help="batch exercises the BN running-stat threading "
+                         "end-to-end (resnet+patch only — the oracle's "
+                         "UnetG/PixelD hard-code InstanceNorm)")
     args = ap.parse_args()
+    if args.norm == "batch" and (args.gen_net != "resnet"
+                                 or args.dis_net != "patch"):
+        ap.error("--norm batch supports --gen_net resnet --dis_net patch only")
 
-    N, S, NB = args.classes, args.size, args.n_blocks
+    N, S, NB, C = args.classes, args.size, args.n_blocks, args.channels
+    tnorm = torch.nn.BatchNorm2d if args.norm == "batch" \
+        else torch.nn.InstanceNorm2d
     torch.manual_seed(0)
-    tmodels = (ResnetG(3, N, args.ngf, NB, tanh=False),
-               ResnetG(N, 3, args.ngf, NB, tanh=True),
-               PatchD(3, args.ngf), PatchD(N, args.ngf))
+    if args.gen_net == "unet":
+        downs = int(np.log2(S))  # bottleneck 1x1 (test convention)
+        tgens = (UnetG(C, N, num_downs=downs, ngf=args.ngf, tanh=False),
+                 UnetG(N, C, num_downs=downs, ngf=args.ngf, tanh=True))
+    else:
+        tgens = (ResnetG(C, N, args.ngf, NB, tanh=False, norm=tnorm),
+                 ResnetG(N, C, args.ngf, NB, tanh=True, norm=tnorm))
+    if args.dis_net == "pixel":
+        tdis = (PixelD(C, args.ngf), PixelD(N, args.ngf))
+    else:
+        tdis = (PatchD(C, args.ngf, norm=tnorm), PatchD(N, args.ngf, norm=tnorm))
+    tmodels = (*tgens, *tdis)
     t_opts = (
         torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
                                          tmodels[1].parameters()),
@@ -64,18 +92,28 @@ def main() -> None:
                          2e-4, betas=(0.5, 0.999)),
     )
 
-    cfg = Config(gen_net="resnet_6blocks", ngf=args.ngf, ndf=args.ngf,
+    cfg = Config(gen_net="resnet_6blocks" if args.gen_net == "resnet"
+                 else "unet_128",
+                 dis_net="n_layers" if args.dis_net == "patch" else "pixel",
+                 norm=args.norm, ngf=args.ngf, ndf=args.ngf,
                  bf16=False, crop_height=S, crop_width=S, batch_size=1,
                  pool_size=args.pool, epochs=10_000, decay_epoch=5_000)
-    trainer = CycleGANTrainer(cfg, N, 3, steps_per_epoch=1)
-    trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
-    trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
+    trainer = CycleGANTrainer(cfg, N, C, steps_per_epoch=1)
+    if args.gen_net == "unet":
+        trainer.G_i2l = trainer.G_i2l.clone(num_downs=downs)
+        trainer.G_l2i = trainer.G_l2i.clone(num_downs=downs)
+        inject_g = inject_unet
+    else:
+        trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
+        trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
+        inject_g = lambda p, t: inject_resnet_gen(p, t, NB)  # noqa: E731
+    inject_d = inject_patchgan if args.dis_net == "patch" else inject_pixeld
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = state._replace(
-        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
-        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
-        d_img=inject_patchgan(state.d_img, tmodels[2]),
-        d_lab=inject_patchgan(state.d_lab, tmodels[3]),
+        g_i2l=inject_g(state.g_i2l, tmodels[0]),
+        g_l2i=inject_g(state.g_l2i, tmodels[1]),
+        d_img=inject_d(state.d_img, tmodels[2]),
+        d_lab=inject_d(state.d_lab, tmodels[3]),
     )
     state = state._replace(
         g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
@@ -83,8 +121,8 @@ def main() -> None:
     )
 
     g = torch.Generator().manual_seed(42)
-    lab_img = torch.randn(1, 3, S, S, generator=g)
-    unlab_img = torch.randn(1, 3, S, S, generator=g)
+    lab_img = torch.randn(1, C, S, S, generator=g)
+    unlab_img = torch.randn(1, C, S, S, generator=g)
     lab_lab = torch.randint(0, N, (1, S, S), generator=g)
     lab_oh = torch.nn.functional.one_hot(lab_lab, N).permute(0, 3, 1, 2).float()
     batch = {
@@ -147,11 +185,12 @@ def main() -> None:
     tmodels[0].eval()
     for vb in val_loader.epoch(0):
         lab = np.minimum(vb["label"], N - 1)
+        img = vb["image"][..., :C]  # synthetic is 3-ch; slice for --channels 1
         pj = np.asarray(jnp.argmax(
-            trainer.G_i2l.apply(state.g_i2l, jnp.asarray(vb["image"])), -1))
+            trainer.G_i2l.apply(state.g_i2l, jnp.asarray(img)), -1))
         with torch.no_grad():
             pt = tmodels[0](torch.from_numpy(
-                vb["image"].transpose(0, 3, 1, 2).copy())).argmax(1).numpy()
+                img.transpose(0, 3, 1, 2).copy())).argmax(1).numpy()
         hist_j += np.asarray(metrics_lib.confusion_matrix(
             jnp.asarray(pj), jnp.asarray(lab), N))
         hist_t += np.asarray(metrics_lib.confusion_matrix(
@@ -163,6 +202,10 @@ def main() -> None:
     print(json.dumps({
         "steps": args.steps,
         "pool": args.pool,
+        "gen_net": args.gen_net,
+        "dis_net": args.dis_net,
+        "norm": args.norm,
+        "channels": C,
         "final_jax_g": round(float(j[-1]), 4),
         "final_torch_g": round(float(t[-1]), 4),
         "max_rel_divergence": round(float(rel.max()), 5),
@@ -177,12 +220,19 @@ def main() -> None:
 
 def _torch_g_loss(models, batch_t) -> float:
     """The G objective exactly as torch_reference.train_step computes it,
-    evaluated without updating (pre-update probe)."""
+    evaluated without updating (pre-update probe). Under --norm batch the
+    train-mode forwards below update BatchNorm running stats, so those
+    buffers are snapshotted and restored — the probe must be side-effect
+    free or it would desync the EMAs from the jax trajectory."""
     G_i2l, G_l2i, D_img, D_lab = models
     lab_img, lab_lab, unlab_img, lab_oh = batch_t
     mse = torch.nn.MSELoss()
     l1 = torch.nn.L1Loss()
     ce = torch.nn.CrossEntropyLoss(ignore_index=255)
+    bn_saved = [(m, m.running_mean.clone(), m.running_var.clone(),
+                 m.num_batches_tracked.clone())
+                for mod in models for m in mod.modules()
+                if isinstance(m, torch.nn.BatchNorm2d)]
     with torch.no_grad():
         fake_lab = torch.softmax(G_i2l(unlab_img), 1)
         fake_img = G_l2i(lab_oh)
@@ -191,7 +241,12 @@ def _torch_g_loss(models, batch_t) -> float:
         cyc_img = l1(G_l2i(fake_lab), unlab_img) * 10.0
         cyc_lab = ce(G_i2l(fake_img), lab_lab) * 10.0
         sup = ce(G_i2l(lab_img), lab_lab)
-        return float(adv + cyc_img + cyc_lab + sup)
+        total = float(adv + cyc_img + cyc_lab + sup)
+    for m, mean, var, nbt in bn_saved:
+        m.running_mean.copy_(mean)
+        m.running_var.copy_(var)
+        m.num_batches_tracked.copy_(nbt)
+    return total
 
 
 if __name__ == "__main__":
