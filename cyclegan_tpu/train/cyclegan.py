@@ -288,7 +288,15 @@ class CycleGANTrainer:
         rng, k_img, k_lab = jax.random.split(rng0, 3)
         fake_img = jax.lax.stop_gradient(aux.pop("fake_img"))
         fake_lab = jax.lax.stop_gradient(aux.pop("fake_lab"))
-        if self.cfg.pool_size > 0 and "pool_use_new_img" in batch:
+        _pool_keys = ("pool_use_new_img", "pool_idx_img",
+                      "pool_use_new_lab", "pool_idx_lab")
+        _n_pool_keys = sum(k in batch for k in _pool_keys)
+        if _n_pool_keys not in (0, len(_pool_keys)):
+            raise ValueError(
+                "injected pool decisions require all four batch keys "
+                f"{_pool_keys}; got only "
+                f"{[k for k in _pool_keys if k in batch]}")
+        if self.cfg.pool_size > 0 and _n_pool_keys == len(_pool_keys):
             # Injected swap decisions (key presence is static at trace time;
             # production batches never carry these). Makes the pool-ACTIVE
             # trajectory deterministic and parity-testable against a torch

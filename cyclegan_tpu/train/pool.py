@@ -89,8 +89,10 @@ def pool_query(
     max_size = state.buffer.shape[0]
     b = items.shape[0]
     keys = jax.random.split(rng, b)
-    k_use = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
-    k_idx = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+    # One split per key; [:, 0]/[:, 1] are the (use-new, swap-slot) streams.
+    # This derivation is pinned by the golden curves — do not restructure.
+    pairs = jax.vmap(jax.random.split)(keys)
+    k_use, k_idx = pairs[:, 0], pairs[:, 1]
     use_new = jax.vmap(lambda k: jax.random.uniform(k) > 0.5)(k_use)
     rand_idx = jax.vmap(
         lambda k: jax.random.randint(k, (), 0, max_size))(k_idx)

@@ -78,7 +78,16 @@ class _FixedMask(torch.nn.Module):
 
 def _recover_mask(intermediates) -> np.ndarray:
     """The flax Dropout layer's keep-mask from captured intermediates
-    (its output is input*mask/(1-p); float inputs are never exactly 0)."""
+    (its output is input*mask/(1-p)).
+
+    Positions where the dropout INPUT is exactly 0 (about half the entries
+    when the input is post-ReLU, as in the ResBlock) are unrecoverable from
+    the output — and irrelevant: the forward is 0 under either mask value,
+    and the cotangent reaching such a position is killed by the ReLU
+    backward (output 0 ⇒ pre-activation ≤ 0 ⇒ dReLU = 0) in both
+    frameworks, so the torch mirror may use any value there. They are
+    reported as dropped; keep-rate sanity checks must therefore be taken
+    over the nonzero-INPUT positions only (see the call sites)."""
     flat = jax.tree_util.tree_flatten_with_path(intermediates)[0]
     outs = [v for path, v in flat if "Dropout_0" in str(path)]
     assert len(outs) == 1, [str(p) for p, _ in flat]
@@ -99,7 +108,6 @@ def test_resblock_dropout_injected_mask_parity():
         rngs={"dropout": key}, capture_intermediates=True,
         mutable=["intermediates"])
     mask = _recover_mask(inter["intermediates"])      # (1, H, W, C)
-    assert 0.2 < mask.mean() < 0.8
 
     # torch mirror with the flax weights and the SAME mask.
     w0 = np.asarray(params["params"]["ConvBlock_0"]["kernel"])
@@ -119,6 +127,12 @@ def test_resblock_dropout_injected_mask_parity():
 
     xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2))).requires_grad_(True)
     h = torch.relu(inorm(conv0(tF.pad(xt, (1, 1, 1, 1), "reflect"))))
+    # Keep-rate sanity over RECOVERABLE positions only: the dropout input
+    # here is post-ReLU, so ~half the entries are exactly 0 and their mask
+    # value is unknowable (and irrelevant — _recover_mask docstring).
+    nz = h.detach().numpy().transpose(0, 2, 3, 1) != 0
+    keep_rate = mask[nz].mean()
+    assert 0.2 < keep_rate < 0.8, keep_rate
     h = drop(h)
     out_t = xt + inorm(conv1(tF.pad(h, (1, 1, 1, 1), "reflect")))
 
@@ -157,6 +171,8 @@ def test_unet_level_dropout_injected_mask_parity():
         rngs={"dropout": key}, capture_intermediates=True,
         mutable=["intermediates"])
     mask = _recover_mask(inter["intermediates"])
+    # Dropout input here is post-InstanceNorm (continuous, a.s. nonzero),
+    # so the plain mean IS the keep rate — unlike the post-ReLU ResBlock.
     assert 0.2 < mask.mean() < 0.8
 
     p = params["params"]

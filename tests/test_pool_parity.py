@@ -19,7 +19,6 @@ the jitted step). Two proof layers:
    shows up as an O(1) jump at the first full-pool swap) fails loudly.
 """
 
-import itertools
 import sys
 from pathlib import Path
 
@@ -30,14 +29,12 @@ import torch
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from parity_utils import inject_patchgan, inject_resnet_gen  # noqa: E402
+from parity_utils import (make_cyclegan_pair, make_fixed_batch,  # noqa: E402
+                          make_pool_decisions)
 
-from cyclegan_tpu.train.cyclegan import CycleGANTrainer  # noqa: E402
 from cyclegan_tpu.train.pool import (  # noqa: E402
     init_pool, pool_query_with_decisions)
-from cyclegan_tpu.utils.config import Config  # noqa: E402
-from tools.torch_reference import (  # noqa: E402
-    HostPool, PatchD, ResnetG, train_step as torch_step)
+from tools.torch_reference import HostPool, train_step as torch_step  # noqa: E402
 
 N_CLASSES, SIZE, NGF, NDF, NB = 5, 32, 8, 8, 2
 STEPS = 25
@@ -73,54 +70,16 @@ def test_pool_mechanism_bit_parity_vs_host_pool():
 
 
 def test_pool_active_trajectory_parity():
-    cfg = Config(gen_net="resnet_6blocks", ngf=NGF, ndf=NDF, bf16=False,
-                 crop_height=SIZE, crop_width=SIZE, batch_size=BATCH,
-                 pool_size=POOL, epochs=200, decay_epoch=100, lamda=10.0)
-    trainer = CycleGANTrainer(cfg, N_CLASSES, 3, steps_per_epoch=1000)
-    trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
-    trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
-
-    torch.manual_seed(0)
-    tmodels = (ResnetG(3, N_CLASSES, NGF, NB, tanh=False),
-               ResnetG(N_CLASSES, 3, NGF, NB, tanh=True),
-               PatchD(3, NDF), PatchD(N_CLASSES, NDF))
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    state = state._replace(
-        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
-        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
-        d_img=inject_patchgan(state.d_img, tmodels[2]),
-        d_lab=inject_patchgan(state.d_lab, tmodels[3]),
-    )
-    state = state._replace(
-        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
-        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
-    )
-    t_opts = (
-        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
-                                         tmodels[1].parameters()),
-                         2e-4, betas=(0.5, 0.999)),
-        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
-                                         tmodels[3].parameters()),
-                         2e-4, betas=(0.5, 0.999)),
-    )
-
-    g = torch.Generator().manual_seed(42)
-    lab_img_t = torch.randn(BATCH, 3, SIZE, SIZE, generator=g)
-    unlab_img_t = torch.randn(BATCH, 3, SIZE, SIZE, generator=g)
-    lab_lab_t = torch.randint(0, N_CLASSES, (BATCH, SIZE, SIZE), generator=g)
-    lab_oh_t = torch.nn.functional.one_hot(lab_lab_t, N_CLASSES) \
-        .permute(0, 3, 1, 2).float()
-    base_batch = {
-        "lab_image": jnp.asarray(lab_img_t.numpy().transpose(0, 2, 3, 1)),
-        "lab_label": jnp.asarray(lab_lab_t.numpy()).astype(jnp.int32),
-        "unlab_image": jnp.asarray(unlab_img_t.numpy().transpose(0, 2, 3, 1)),
-    }
+    tmodels, t_opts, trainer, state = make_cyclegan_pair(
+        n_classes=N_CLASSES, size=SIZE, ngf=NGF, ndf=NDF, n_blocks=NB,
+        pool_size=POOL, batch_size=BATCH, epochs=200, decay_epoch=100,
+        steps_per_epoch=1000)
+    (lab_img_t, lab_lab_t, unlab_img_t, lab_oh_t), base_batch = \
+        make_fixed_batch(N_CLASSES, SIZE, batch=BATCH)
 
     # One shared injected decision stream: (use_new, swap_idx) per item per
     # pool per step. The stream includes genuine swaps AND keep-new cases.
-    dec_rng = np.random.default_rng(7)
-    decisions = dec_rng.random((STEPS, 2, BATCH)) > 0.5       # (step, pool, B)
-    swap_idx = dec_rng.integers(0, POOL, (STEPS, 2, BATCH))
+    decisions, swap_idx = make_pool_decisions(STEPS, BATCH, POOL)
     assert not decisions[2:].all() and not (~decisions[2:]).all(), \
         "decision stream degenerated"
 
@@ -182,3 +141,19 @@ def test_pool_active_trajectory_parity():
         d_self = np.abs(got - want).mean(axis=(1, 2, 3))
         assert (d_self < 0.2).all(), (f"pool_{name} per-slot mean drift "
                                       f"{d_self} exceeds the envelope")
+
+
+def test_partial_pool_decision_injection_rejected():
+    """Injecting only SOME of the four pool-decision batch keys is a
+    caller bug (the step would otherwise die with a raw KeyError deep in
+    jit tracing) — the gate demands all four, loudly."""
+    import pytest
+
+    tmodels, t_opts, trainer, state = make_cyclegan_pair(
+        n_classes=N_CLASSES, size=SIZE, ngf=NGF, ndf=NDF, n_blocks=NB,
+        pool_size=POOL, batch_size=BATCH, epochs=200, decay_epoch=100,
+        steps_per_epoch=1000)
+    _, batch = make_fixed_batch(N_CLASSES, SIZE, batch=BATCH)
+    bad = dict(batch, pool_use_new_img=jnp.zeros((BATCH,), bool))
+    with pytest.raises(ValueError, match="all four batch keys"):
+        jax.jit(trainer.train_step)(state, bad)

@@ -8,7 +8,6 @@ Pool replay is bypassed on both sides (pool_size=0 / no pool in the torch
 step) so the trajectories are RNG-free and deterministic.
 """
 
-import itertools
 import sys
 from pathlib import Path
 
@@ -20,71 +19,24 @@ import torch
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from parity_utils import (inject_patchgan, inject_pixeld,  # noqa: E402
-                          inject_resnet_gen, inject_unet)
+from parity_utils import make_cyclegan_pair, make_fixed_batch  # noqa: E402
 
-from cyclegan_tpu.train.cyclegan import CycleGANTrainer  # noqa: E402
-from cyclegan_tpu.utils.config import Config  # noqa: E402
-from tools.torch_reference import (PatchD, PixelD, ResnetG,  # noqa: E402
-                                   UnetG, train_step as torch_step)
+from tools.torch_reference import train_step as torch_step  # noqa: E402
 
 N_CLASSES, SIZE, NGF, NDF, NB = 5, 32, 8, 8, 2
 STEPS = 3
 
-
-def build_torch():
-    torch.manual_seed(0)
-    G_i2l = ResnetG(3, N_CLASSES, NGF, NB, tanh=False)
-    G_l2i = ResnetG(N_CLASSES, 3, NGF, NB, tanh=True)
-    D_img = PatchD(3, NDF)
-    D_lab = PatchD(N_CLASSES, NDF)
-    return G_i2l, G_l2i, D_img, D_lab
+# cfg knobs shared by every leg in this file (LR schedule far from its
+# decay region so the 3–30-step trajectories see a constant LR).
+PAIR_KW = dict(n_classes=N_CLASSES, size=SIZE, ngf=NGF, ndf=NDF,
+               n_blocks=NB, pool_size=0, epochs=200, decay_epoch=100,
+               steps_per_epoch=1000)
 
 
 def test_three_step_cyclegan_parity():
-    cfg = Config(gen_net="resnet_6blocks", ngf=NGF, ndf=NDF, bf16=False,
-                 crop_height=SIZE, crop_width=SIZE, batch_size=1,
-                 pool_size=0, epochs=200, decay_epoch=100, lamda=10.0)
-    trainer = CycleGANTrainer(cfg, N_CLASSES, 3, steps_per_epoch=1000)
-    # Shrink the generators to NB res-blocks to keep the test fast.
-    trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
-    trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
-
-    tmodels = build_torch()
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    state = state._replace(
-        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
-        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
-        d_img=inject_patchgan(state.d_img, tmodels[2]),
-        d_lab=inject_patchgan(state.d_lab, tmodels[3]),
-    )
-    # Re-init optimizer states for the injected params.
-    state = state._replace(
-        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
-        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
-    )
-
-    g = torch.Generator().manual_seed(42)
-    lab_img_t = torch.randn(1, 3, SIZE, SIZE, generator=g)
-    unlab_img_t = torch.randn(1, 3, SIZE, SIZE, generator=g)
-    lab_lab_t = torch.randint(0, N_CLASSES, (1, SIZE, SIZE), generator=g)
-    lab_oh_t = torch.nn.functional.one_hot(lab_lab_t, N_CLASSES) \
-        .permute(0, 3, 1, 2).float()
-
-    t_opts = (
-        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
-                                         tmodels[1].parameters()),
-                         2e-4, betas=(0.5, 0.999)),
-        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
-                                         tmodels[3].parameters()),
-                         2e-4, betas=(0.5, 0.999)),
-    )
-
-    batch = {
-        "lab_image": jnp.asarray(lab_img_t.numpy().transpose(0, 2, 3, 1)),
-        "lab_label": jnp.asarray(lab_lab_t.numpy()).astype(jnp.int32),
-        "unlab_image": jnp.asarray(unlab_img_t.numpy().transpose(0, 2, 3, 1)),
-    }
+    tmodels, t_opts, trainer, state = make_cyclegan_pair(**PAIR_KW)
+    (lab_img_t, lab_lab_t, unlab_img_t, lab_oh_t), batch = \
+        make_fixed_batch(N_CLASSES, SIZE)
     step_jit = jax.jit(trainer.train_step, donate_argnums=0)
 
     for s in range(STEPS):
@@ -115,45 +67,9 @@ def test_thirty_step_curve_parity():
     tools/cyclegan_parity_run.py re-run): 30 alternating steps, per-step
     G-loss trajectories within the measured f32 envelope (the 50-step tool
     run measures mean 0.31% / max 1.4%), plus final-forward closeness."""
-    cfg = Config(gen_net="resnet_6blocks", ngf=NGF, ndf=NDF, bf16=False,
-                 crop_height=SIZE, crop_width=SIZE, batch_size=1,
-                 pool_size=0, epochs=200, decay_epoch=100, lamda=10.0)
-    trainer = CycleGANTrainer(cfg, N_CLASSES, 3, steps_per_epoch=1000)
-    trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
-    trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
-
-    tmodels = build_torch()
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    state = state._replace(
-        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
-        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
-        d_img=inject_patchgan(state.d_img, tmodels[2]),
-        d_lab=inject_patchgan(state.d_lab, tmodels[3]),
-    )
-    state = state._replace(
-        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
-        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
-    )
-    t_opts = (
-        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
-                                         tmodels[1].parameters()),
-                         2e-4, betas=(0.5, 0.999)),
-        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
-                                         tmodels[3].parameters()),
-                         2e-4, betas=(0.5, 0.999)),
-    )
-
-    g = torch.Generator().manual_seed(42)
-    lab_img_t = torch.randn(1, 3, SIZE, SIZE, generator=g)
-    unlab_img_t = torch.randn(1, 3, SIZE, SIZE, generator=g)
-    lab_lab_t = torch.randint(0, N_CLASSES, (1, SIZE, SIZE), generator=g)
-    lab_oh_t = torch.nn.functional.one_hot(lab_lab_t, N_CLASSES) \
-        .permute(0, 3, 1, 2).float()
-    batch = {
-        "lab_image": jnp.asarray(lab_img_t.numpy().transpose(0, 2, 3, 1)),
-        "lab_label": jnp.asarray(lab_lab_t.numpy()).astype(jnp.int32),
-        "unlab_image": jnp.asarray(unlab_img_t.numpy().transpose(0, 2, 3, 1)),
-    }
+    tmodels, t_opts, trainer, state = make_cyclegan_pair(**PAIR_KW)
+    (lab_img_t, lab_lab_t, unlab_img_t, lab_oh_t), batch = \
+        make_fixed_batch(N_CLASSES, SIZE)
     step_jit = jax.jit(trainer.train_step, donate_argnums=0)
 
     j_curve, t_curve = [], []
@@ -202,66 +118,14 @@ def test_three_step_parity_config_legs(leg):
       the multi-step TRAJECTORY).
     """
     n_classes, ch = (4, 1) if leg == "acdc" else (N_CLASSES, 3)
-    norm = "batch" if leg == "batch_norm" else "instance"
-    tnorm = torch.nn.BatchNorm2d if norm == "batch" else torch.nn.InstanceNorm2d
-    torch.manual_seed(0)
-    if leg == "unet_pixel":
-        downs = 5  # 32x32 -> 1x1 bottleneck
-        tmodels = (UnetG(ch, n_classes, num_downs=downs, ngf=NGF, tanh=False),
-                   UnetG(n_classes, ch, num_downs=downs, ngf=NGF, tanh=True),
-                   PixelD(ch, NDF), PixelD(n_classes, NDF))
-        cfg_gen, cfg_dis = "unet_128", "pixel"
-        inject_g, inject_d = inject_unet, inject_pixeld
-    else:
-        tmodels = (ResnetG(ch, n_classes, NGF, NB, tanh=False, norm=tnorm),
-                   ResnetG(n_classes, ch, NGF, NB, tanh=True, norm=tnorm),
-                   PatchD(ch, NDF, norm=tnorm), PatchD(n_classes, NDF, norm=tnorm))
-        cfg_gen, cfg_dis = "resnet_6blocks", "n_layers"
-        inject_g = lambda p, t: inject_resnet_gen(p, t, NB)  # noqa: E731
-        inject_d = inject_patchgan
-
-    cfg = Config(gen_net=cfg_gen, dis_net=cfg_dis, norm=norm, ngf=NGF, ndf=NDF,
-                 bf16=False, crop_height=SIZE, crop_width=SIZE, batch_size=1,
-                 pool_size=0, epochs=200, decay_epoch=100, lamda=10.0)
-    trainer = CycleGANTrainer(cfg, n_classes, ch, steps_per_epoch=1000)
-    if leg == "unet_pixel":
-        trainer.G_i2l = trainer.G_i2l.clone(num_downs=downs)
-        trainer.G_l2i = trainer.G_l2i.clone(num_downs=downs)
-    else:
-        trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
-        trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
-
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    state = state._replace(
-        g_i2l=inject_g(state.g_i2l, tmodels[0]),
-        g_l2i=inject_g(state.g_l2i, tmodels[1]),
-        d_img=inject_d(state.d_img, tmodels[2]),
-        d_lab=inject_d(state.d_lab, tmodels[3]),
-    )
-    state = state._replace(
-        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
-        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
-    )
-    t_opts = (
-        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
-                                         tmodels[1].parameters()),
-                         2e-4, betas=(0.5, 0.999)),
-        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
-                                         tmodels[3].parameters()),
-                         2e-4, betas=(0.5, 0.999)),
-    )
-
-    g = torch.Generator().manual_seed(42)
-    lab_img_t = torch.randn(1, ch, SIZE, SIZE, generator=g)
-    unlab_img_t = torch.randn(1, ch, SIZE, SIZE, generator=g)
-    lab_lab_t = torch.randint(0, n_classes, (1, SIZE, SIZE), generator=g)
-    lab_oh_t = torch.nn.functional.one_hot(lab_lab_t, n_classes) \
-        .permute(0, 3, 1, 2).float()
-    batch = {
-        "lab_image": jnp.asarray(lab_img_t.numpy().transpose(0, 2, 3, 1)),
-        "lab_label": jnp.asarray(lab_lab_t.numpy()).astype(jnp.int32),
-        "unlab_image": jnp.asarray(unlab_img_t.numpy().transpose(0, 2, 3, 1)),
-    }
+    tmodels, t_opts, trainer, state = make_cyclegan_pair(
+        **{**PAIR_KW, "n_classes": n_classes},
+        channels=ch,
+        gen_net="unet" if leg == "unet_pixel" else "resnet",
+        dis_net="pixel" if leg == "unet_pixel" else "patch",
+        norm="batch" if leg == "batch_norm" else "instance")
+    (lab_img_t, lab_lab_t, unlab_img_t, lab_oh_t), batch = \
+        make_fixed_batch(n_classes, SIZE, channels=ch)
     step_jit = jax.jit(trainer.train_step, donate_argnums=0)
 
     for _ in range(STEPS):

@@ -146,13 +146,9 @@ def run_semisup(args) -> None:
     unlabeled batch streams, with the replay pools driven by ONE injected
     (use_new, swap_idx) decision stream; the trained G_i2l segmenters are
     then scored on the same validation set. Gate: |Δ mIoU| <= 0.5 pts."""
-    import itertools
+    from parity_utils import make_cyclegan_pair, make_pool_decisions
 
-    from parity_utils import inject_patchgan
-
-    from cyclegan_tpu.train.cyclegan import CycleGANTrainer
-    from tools.torch_reference import (
-        HostPool, PatchD, train_step as torch_step)
+    from tools.torch_reference import HostPool, train_step as torch_step
 
     N, S, B, NB = args.classes, args.size, args.batch, args.n_blocks
 
@@ -179,41 +175,13 @@ def run_semisup(args) -> None:
     val_batches = list(Loader(val_ds, batch_size=B, crop_hw=(S, S),
                               train=False, drop_last=False).epoch(0))
 
-    # ---- identical init
-    torch.manual_seed(0)
-    tmodels = (ResnetG(3, N, args.ngf, NB, tanh=False),
-               ResnetG(N, 3, args.ngf, NB, tanh=True),
-               PatchD(3, args.ngf), PatchD(N, args.ngf))
-    t_opts = (
-        torch.optim.Adam(itertools.chain(tmodels[0].parameters(),
-                                         tmodels[1].parameters()),
-                         2e-4, betas=(0.5, 0.999)),
-        torch.optim.Adam(itertools.chain(tmodels[2].parameters(),
-                                         tmodels[3].parameters()),
-                         2e-4, betas=(0.5, 0.999)),
-    )
-    cfg = Config(gen_net="resnet_6blocks", ngf=args.ngf, ndf=args.ngf,
-                 bf16=False, crop_height=S, crop_width=S, batch_size=B,
-                 pool_size=args.pool, epochs=10_000, decay_epoch=5_000)
-    trainer = CycleGANTrainer(cfg, N, 3, steps_per_epoch=1)
-    trainer.G_i2l = trainer.G_i2l.clone(n_blocks=NB)
-    trainer.G_l2i = trainer.G_l2i.clone(n_blocks=NB)
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    state = state._replace(
-        g_i2l=inject_resnet_gen(state.g_i2l, tmodels[0], NB),
-        g_l2i=inject_resnet_gen(state.g_l2i, tmodels[1], NB),
-        d_img=inject_patchgan(state.d_img, tmodels[2]),
-        d_lab=inject_patchgan(state.d_lab, tmodels[3]),
-    )
-    state = state._replace(
-        g_opt=trainer.g_tx.init((state.g_i2l, state.g_l2i)),
-        d_opt=trainer.d_tx.init((state.d_img, state.d_lab)),
-    )
+    # ---- identical init (single copy of the pair protocol: parity_utils)
+    tmodels, t_opts, trainer, state = make_cyclegan_pair(
+        n_classes=N, size=S, ngf=args.ngf, n_blocks=NB,
+        pool_size=args.pool, batch_size=B)
 
     # ---- one injected decision stream for both frameworks' pools
-    dec_rng = np.random.default_rng(7)
-    use_new = dec_rng.random((args.steps, 2, B)) > 0.5
-    swap_idx = dec_rng.integers(0, args.pool, (args.steps, 2, B))
+    use_new, swap_idx = make_pool_decisions(args.steps, B, args.pool)
     t_pools = (HostPool(args.pool), HostPool(args.pool))
 
     step = jax.jit(trainer.train_step, donate_argnums=0)
