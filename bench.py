@@ -171,26 +171,39 @@ def measure_jax_pipeline(size: int, batch: int, steps: int, warmup: int, *,
 
 def measure_jax_supervised(size: int, batch: int, steps: int, warmup: int, *,
                            gen_net: str = "resnet_6blocks",
-                           classes: int = 21) -> float:
-    """BASELINE config 1: supervised-only CE seg step (the minimum slice)."""
+                           classes: int = 21, scan: int = 1,
+                           grad_accum: int = 1) -> float:
+    """BASELINE config 1: supervised-only CE seg step (the minimum slice).
+
+    ``scan``/``grad_accum`` mirror the semi-sup bench: steps_per_call
+    batches K optimizer updates into one device program (the dispatch-
+    overhead amortizer — at ~3–4 ms/step this config is the most dispatch-
+    bound in the suite), grad_accum folds K microbatches into one update.
+    """
     import jax
 
-    from cyclegan_tpu.parallel import make_mesh, replicate_state, shard_batch, jit_step
+    from cyclegan_tpu.parallel import (
+        make_mesh, replicate_state, shard_batch, jit_step, select_step)
     from cyclegan_tpu.train.supervised import SupervisedTrainer
     from cyclegan_tpu.utils.config import Config
 
     cfg = Config(dataset="synthetic", gen_net=gen_net, crop_height=size,
                  crop_width=size, batch_size=batch, bf16=True,
-                 epochs=100, decay_epoch=50)
+                 epochs=100, decay_epoch=50,
+                 steps_per_call=scan, grad_accum=grad_accum)
     tr = SupervisedTrainer(cfg, classes, 3, steps_per_epoch=100)
     mesh = make_mesh(1)
     state = replicate_state(tr.init_state(jax.random.PRNGKey(0)), mesh)
-    step = jit_step(tr.train_step)
+    step = jit_step(select_step(tr, scan, grad_accum))
     rng = jax.random.PRNGKey(1)
+    stack = scan if scan > 1 else grad_accum
+    lead = () if stack <= 1 else (stack,)
     batch_d = shard_batch({
-        "image": jax.random.uniform(rng, (batch, size, size, 3), minval=-1, maxval=1),
-        "label": jax.random.randint(rng, (batch, size, size), 0, classes),
-    }, mesh)
+        "image": jax.random.uniform(rng, lead + (batch, size, size, 3),
+                                    minval=-1, maxval=1),
+        "label": jax.random.randint(rng, lead + (batch, size, size), 0,
+                                    classes),
+    }, mesh, leading_stack=stack > 1)
     m = None
     for _ in range(warmup):
         state, m = step(state, batch_d)
@@ -199,7 +212,8 @@ def measure_jax_supervised(size: int, batch: int, steps: int, warmup: int, *,
     for _ in range(steps):
         state, m = step(state, batch_d)
     jax.device_get(m)
-    return steps / (time.perf_counter() - t0)
+    jax.device_get(jax.tree.leaves(state.params)[0])
+    return steps * max(scan, 1) / (time.perf_counter() - t0)
 
 
 def measure_jax_inference(size: int, batch: int, steps: int, warmup: int, *,
@@ -349,10 +363,13 @@ def main() -> None:
     if args.supervised:
         sps = measure_jax_supervised(args.size, args.batch, args.steps,
                                      args.warmup, classes=args.classes,
-                                     gen_net=gen_net)
+                                     gen_net=gen_net, scan=args.scan,
+                                     grad_accum=args.grad_accum)
         print(json.dumps({
             "metric": f"supervised_train_steps_per_sec_{args.size}x"
-                      f"{args.size}_b{args.batch}{_tag('resnet_6blocks')}",
+                      f"{args.size}_b{args.batch}{_tag('resnet_6blocks')}"
+                      f"{f'_scan{args.scan}' if args.scan > 1 else ''}"
+                      f"{f'_ga{args.grad_accum}' if args.grad_accum > 1 else ''}",
             "value": round(sps, 4),
             "unit": "steps/sec/chip",
             "vs_baseline": None,
