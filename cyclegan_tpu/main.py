@@ -165,6 +165,12 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            # Stale XLA:CPU AOT cache entries from another VM's ISA can
+            # SIGILL (see cpuflags.pin_cpu_compile_cache docstring).
+            from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+
+            pin_cpu_compile_cache()
     from cyclegan_tpu.train import runner  # deferred: jax init is slow
 
     if args.serve:

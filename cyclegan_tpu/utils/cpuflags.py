@@ -14,7 +14,9 @@ helper appends). Must be called BEFORE the XLA backend initializes.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform as _platform
 
 CPU_COLLECTIVE_FLAGS = (
     ("--xla_cpu_collective_timeout_seconds", 1200),
@@ -30,3 +32,44 @@ def ensure_cpu_collective_timeouts() -> None:
         if flag not in flags:
             flags += f" {flag}={v}"
     os.environ["XLA_FLAGS"] = flags
+
+
+def host_isa_fingerprint() -> str:
+    """Short stable hash of this host's CPU ISA feature set."""
+    feats = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+
+
+def pin_cpu_compile_cache() -> None:
+    """Redirect the persistent XLA compile cache to a host-fingerprinted dir.
+
+    XLA's persistent-cache key does NOT cover the compile machine's CPU
+    features: an XLA:CPU AOT result cached by a previous VM (the home dir
+    outlives VM swaps in this environment) loads on a host with a different
+    feature set with only an E-level log — "could lead to execution errors
+    such as SIGILL" (observed 2026-08-19: entries compiled with the
+    prefer-no-gather/-scatter pseudo-features loaded on a host without them;
+    benign that time, but a real ISA difference would crash every CPU run,
+    i.e. the whole test suite). TPU executables don't embed host ISA, so
+    only CPU-forced entry points call this — the shared TPU cache (15-min
+    train-step compiles over the tunnel) stays valid across VM changes.
+
+    Call AFTER forcing ``jax_platforms=cpu``; idempotent. No-op when the
+    cache is disabled (``CYCLEGAN_TPU_NO_COMPILE_CACHE``).
+    """
+    import jax
+
+    base = jax.config.jax_compilation_cache_dir
+    if not base:
+        return
+    suffix = f"-cpu-{host_isa_fingerprint()}"
+    if not base.endswith(suffix):
+        jax.config.update("jax_compilation_cache_dir", base + suffix)

@@ -20,6 +20,8 @@ sys.path.insert(0, %(root)r)
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+pin_cpu_compile_cache()
 
 from cyclegan_tpu.parallel.distributed import maybe_initialize
 from cyclegan_tpu.utils.config import Config
@@ -58,6 +60,8 @@ sys.path.insert(0, %(root)r)
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+pin_cpu_compile_cache()
 from cyclegan_tpu.parallel.distributed import _initialized
 
 assert _initialized() is False

@@ -63,6 +63,9 @@ if __name__ == "__main__":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
     jax.config.update("jax_default_matmul_precision", "highest")
+    from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+
+    pin_cpu_compile_cache()
     curve = _run_curve()
     GOLDEN_PATH.write_text(json.dumps({
         "config": ("resnet_6blocks ngf=ndf=8 fp32 32x32 batch=2 synthetic(16) "

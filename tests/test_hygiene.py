@@ -57,3 +57,21 @@ def test_profiler_produces_trace(tmp_path):
     prof.finish()
     files = list(tmp_path.rglob("*"))
     assert any(f.is_file() for f in files), "no trace artifacts written"
+
+
+def test_cpu_compile_cache_is_host_fingerprinted():
+    """CPU-forced runs must not share XLA:CPU AOT cache entries across hosts
+    with different ISA feature sets (stale entries can SIGILL — see
+    cpuflags.pin_cpu_compile_cache). conftest pins the suffix for the whole
+    suite; re-pinning must be idempotent."""
+    import jax
+
+    from cyclegan_tpu.utils.cpuflags import (
+        host_isa_fingerprint, pin_cpu_compile_cache)
+
+    fp = host_isa_fingerprint()
+    assert len(fp) == 10 and fp == host_isa_fingerprint()
+    d1 = jax.config.jax_compilation_cache_dir
+    assert d1 and d1.endswith(f"-cpu-{fp}")
+    pin_cpu_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == d1

@@ -49,6 +49,8 @@ if PID >= 0:
                                shutdown_timeout_seconds=1200)
 jax.config.update("jax_default_matmul_precision", "highest")
 sys.path.insert(0, %(root)r)
+from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+pin_cpu_compile_cache()
 
 import jax.numpy as jnp
 from cyclegan_tpu.data.datasets import make_dataset, split_labeled
@@ -271,6 +273,8 @@ jax.distributed.initialize(coordinator_address=COORD, num_processes=2,
                            heartbeat_timeout_seconds=600,
                            shutdown_timeout_seconds=1200)
 sys.path.insert(0, %(root)r)
+from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+pin_cpu_compile_cache()
 
 from jax.experimental import multihost_utils
 
@@ -310,6 +314,8 @@ jax.distributed.initialize(coordinator_address=COORD, num_processes=2,
                            heartbeat_timeout_seconds=600,
                            shutdown_timeout_seconds=1200)
 sys.path.insert(0, %(root)r)
+from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+pin_cpu_compile_cache()
 
 from jax.experimental import multihost_utils
 
@@ -416,6 +422,8 @@ jax.distributed.initialize(coordinator_address=COORD, num_processes=2,
                            heartbeat_timeout_seconds=600,
                            shutdown_timeout_seconds=1200)
 sys.path.insert(0, %(root)r)
+from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+pin_cpu_compile_cache()
 
 from jax.experimental import multihost_utils
 
@@ -553,6 +561,8 @@ jax.distributed.initialize(coordinator_address=COORD, num_processes=2,
                            heartbeat_timeout_seconds=600,
                            shutdown_timeout_seconds=1200)
 sys.path.insert(0, %(root)r)
+from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+pin_cpu_compile_cache()
 
 from jax.experimental import multihost_utils
 

@@ -26,6 +26,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache  # noqa: E402
+
+pin_cpu_compile_cache()
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import torch  # noqa: E402
