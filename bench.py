@@ -284,7 +284,34 @@ def _resolve_platform(retries: int = 8, wait_s: int = 45) -> str:
         if attempt < retries - 1:
             _time.sleep(wait_s)
     jax.config.update("jax_platforms", "cpu")
+    from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+
+    pin_cpu_compile_cache()
     return "cpu-fallback"
+
+
+def _is_transient_tpu_error(exc: BaseException) -> bool:
+    """The axon tunnel's third failure mode (after fast-RuntimeError and
+    silent hang): a mid-run "TPU backend error (Internal)" / UNAVAILABLE
+    from a live backend. Observed 2026-08-19; a 60 s-backoff retry in a
+    fresh process succeeded."""
+    s = repr(exc).lower()
+    return any(k in s for k in
+               ("internal", "unavailable", "deadline", "backend",
+                "connection", "socket closed"))
+
+
+def _reexec_with_backoff(attempt: int, wait_s: int = 60) -> None:
+    """Re-exec bench.py with a fresh backend (an in-process retry can't
+    recover a wedged tunnel client). Preserves argv; bounds via --_attempt."""
+    import os
+    import sys
+
+    argv = [a for i, a in enumerate(sys.argv[1:])
+            if a != "--_attempt" and (i == 0 or sys.argv[1:][i - 1] != "--_attempt")]
+    time.sleep(wait_s)
+    os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)]
+             + argv + ["--_attempt", str(attempt + 1)])
 
 
 def main() -> None:
@@ -328,8 +355,24 @@ def main() -> None:
                     help="steps per device call (lax.scan multi-step "
                          "batching; amortizes launch/scheduling at small "
                          "batch)")
+    ap.add_argument("--_attempt", type=int, default=0, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    try:
+        _dispatch(args)
+    except Exception as exc:
+        if args._attempt < 2 and _is_transient_tpu_error(exc):
+            import sys
+            import traceback
+
+            traceback.print_exc()
+            print(f"bench: transient TPU error, re-exec attempt "
+                  f"{args._attempt + 1} after 60 s backoff", file=sys.stderr)
+            _reexec_with_backoff(args._attempt)
+        raise
+
+
+def _dispatch(args) -> None:
     platform = _resolve_platform()
     # Resolve the family per mode ONLY when not explicitly requested (an
     # explicit --gen_net is always honored — advisor r3).
