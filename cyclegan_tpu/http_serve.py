@@ -28,13 +28,19 @@ Endpoints:
     ``class_names``) — the per-class pixel histogram (cheap summary;
     fetch ``mask`` for the full map).
 
-All device work is serialized behind a lock: requests are single-image
-(the batch-polymorphic artifact compiles one ``(1, H, W, C)`` program at
-warmup, so steady-state requests never recompile), and one in-flight
-device call keeps the endpoint's memory footprint flat under a threaded
-server. Throughput scaling is horizontal — a fleet of independent hosts
-behind a load balancer, each with its own artifact (matching
-``--serve_dp``'s one-process contract).
+Device work runs one call at a time, with **adaptive micro-batching**
+(``--serve_http_batch``, default 8): while a device call is in flight,
+concurrent requests queue up; whichever request thread next takes the
+device lock coalesces everything waiting (up to the cap) into ONE batched
+call. Batches are zero-padded to power-of-two buckets so the
+batch-polymorphic artifact compiles a bounded set of programs — all
+pre-warmed at startup — and steady-state requests never recompile. Under
+a single client the path degenerates to today's batch-1 call with zero
+added latency (no timer-based waiting; batching emerges only from actual
+concurrency). One in-flight device call keeps the endpoint's memory
+footprint flat under a threaded server; scaling beyond one chip is
+horizontal — a fleet of independent hosts behind a load balancer, each
+with its own artifact (matching ``--serve_dp``'s one-process contract).
 """
 
 from __future__ import annotations
@@ -70,19 +76,26 @@ class _Metrics:
         self.predict_seconds_sum = 0.0
         self.predict_seconds_count = 0
         self.bucket_counts = [0] * len(_LATENCY_BUCKETS)
+        self.batched_images_sum = 0  # images served across device calls
 
     def count(self, route: str, code: int) -> None:
         key = f'route="{route}",code="{code}"'
         with self.lock:
             self.requests_total[key] = self.requests_total.get(key, 0) + 1
 
-    def observe_predict(self, seconds: float) -> None:
+    def observe_predict(self, seconds: float, n_images: int = 1) -> None:
         with self.lock:
             self.predict_seconds_sum += seconds
             self.predict_seconds_count += 1
+            self.batched_images_sum += n_images
             for i, ub in enumerate(_LATENCY_BUCKETS):
                 if seconds <= ub:
+                    # Per-bucket storage; render() does the cumulative sum
+                    # Prometheus expects (without the break each observation
+                    # landed in EVERY bucket above it and render double-
+                    # accumulated — buckets came out non-monotonic vs +Inf).
                     self.bucket_counts[i] += 1
+                    break
 
     def render(self) -> str:
         with self.lock:
@@ -110,7 +123,112 @@ class _Metrics:
                          f"{self.predict_seconds_sum}")
             lines.append(f"cyclegan_tpu_predict_seconds_count "
                          f"{self.predict_seconds_count}")
+            lines += [
+                "# HELP cyclegan_tpu_predict_images_total Images served by "
+                "device calls (ratio to predict_seconds_count = mean "
+                "micro-batch size)",
+                "# TYPE cyclegan_tpu_predict_images_total counter",
+                f"cyclegan_tpu_predict_images_total {self.batched_images_sum}",
+            ]
         return "\n".join(lines) + "\n"
+
+
+class _Slot:
+    """One queued request: input image, completion event, result or error."""
+
+    __slots__ = ("img", "done", "out", "err")
+
+    def __init__(self, img: np.ndarray) -> None:
+        self.img = img
+        self.done = threading.Event()
+        self.out: np.ndarray | None = None
+        self.err: BaseException | None = None
+
+
+def _bucket(n: int, cap: int) -> int:
+    """Next power-of-two >= n, capped — the set of batch shapes the device
+    ever sees (bounded program count; all pre-warmed at startup)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+class _MicroBatcher:
+    """Adaptive request coalescing over one batch-polymorphic predictor.
+
+    Leader–follower: every request enqueues its slot, then competes for the
+    device lock. The winner (leader) drains up to ``max_batch`` queued slots,
+    zero-pads the stack to a power-of-two bucket, runs ONE device call, and
+    distributes the rows. Followers wake on their slot's event — served
+    either by the leader's batch or by a later round. No timers: batching
+    arises only when requests actually overlap, so a lone client pays
+    exactly the batch-1 latency.
+    """
+
+    def __init__(self, predict, max_batch: int, metrics: "_Metrics") -> None:
+        self.predict = predict
+        self.max_batch = max(1, int(max_batch))
+        self.metrics = metrics
+        self._mutex = threading.Lock()     # guards the queue
+        self._device = threading.Lock()    # one device call in flight
+        self._queue: list[_Slot] = []
+
+    def buckets(self) -> list[int]:
+        out, b = [], 1
+        while b < self.max_batch:
+            out.append(b)
+            b *= 2
+        out.append(self.max_batch)
+        return out
+
+    def _serve_round(self) -> None:
+        """Holding the device lock: drain one batch and complete its slots."""
+        with self._mutex:
+            take = self._queue[:self.max_batch]
+            del self._queue[:len(take)]
+        if not take:
+            return
+        try:
+            import time
+
+            import jax
+
+            batch = np.stack([s.img for s in take])
+            b = _bucket(batch.shape[0], self.max_batch)
+            if b > batch.shape[0]:
+                batch = np.concatenate(
+                    [batch, np.zeros((b - batch.shape[0],) + batch.shape[1:],
+                                     batch.dtype)])
+            t0 = time.perf_counter()
+            pred = np.asarray(jax.device_get(self.predict(batch)))
+            self.metrics.observe_predict(time.perf_counter() - t0, len(take))
+            for s, p in zip(take, pred):
+                s.out = p.astype(np.uint8)
+        except BaseException as e:  # deliver to every waiter, don't hang them
+            for s in take:
+                s.err = e
+        finally:
+            for s in take:
+                s.done.set()
+
+    def predict_one(self, img: np.ndarray) -> np.ndarray:
+        slot = _Slot(img)
+        with self._mutex:
+            self._queue.append(slot)
+        # Compete to lead; a slot served by another leader's round exits the
+        # loop via its event. The short acquire timeout re-checks doneness so
+        # a follower never blocks on a lock it no longer needs.
+        while not slot.done.is_set():
+            if self._device.acquire(timeout=0.05):
+                try:
+                    if not slot.done.is_set():
+                        self._serve_round()
+                finally:
+                    self._device.release()
+        if slot.err is not None:
+            raise slot.err
+        return slot.out
 
 
 def _decode_image(data: bytes, hw: tuple[int, int], in_channels: int,
@@ -144,12 +262,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _reply(self, code: int, body: bytes, ctype: str,
                route: str | None = None) -> None:
+        # Count BEFORE writing the response: a client that receives the
+        # reply and immediately scrapes /metrics must see this request.
+        self.server.metrics.count(route or urlparse(self.path).path, code)
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
-        self.server.metrics.count(route or urlparse(self.path).path, code)
 
     def _json(self, code: int, obj, route: str | None = None) -> None:
         self._reply(code, json.dumps(obj).encode(), "application/json",
@@ -213,15 +333,12 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # PIL raises a zoo of decode errors
             self._json(400, {"error": f"could not decode image: {e}"})
             return
-        with self.server.predict_lock:
-            import time
-
-            import jax
-
-            t0 = time.perf_counter()
-            pred = np.asarray(jax.device_get(
-                self.server.predict(img[None])))[0].astype(np.uint8)
-            self.server.metrics.observe_predict(time.perf_counter() - t0)
+        try:
+            pred = self.server.batcher.predict_one(img)
+        except Exception as e:  # device-call failure: fail THIS request
+            self._json(500, {"error": f"predict failed: {e}"})
+            return
+        with self.server.count_lock:
             self.server.requests_served += 1
         if fmt == "png":
             self._reply(200, _png_bytes(decode_colormap(pred)), "image/png")
@@ -251,35 +368,45 @@ def make_server(artifact_path: str, *, host: str = "127.0.0.1",
                 canvas_hw: tuple[int, int] | None = None,
                 flip: bool = False,
                 scales: tuple[float, ...] | None = None,
-                warmup: bool = True,
+                warmup: bool = True, max_batch: int = 8,
+                data_parallel: bool = False,
                 verbose: bool = False) -> ThreadingHTTPServer:
     """Build (and optionally warm up) the serving HTTP server.
 
     ``port=0`` binds an ephemeral port (read it back from
     ``server.server_address[1]`` — how the tests run hermetically).
-    ``warmup`` runs one dummy predict so the first real request hits a
-    compiled program instead of a compile stall. Call ``serve_forever()``
-    on the result (or :func:`run_http_serve` for the CLI wrapper).
+    ``warmup`` runs one dummy predict per micro-batch bucket so every
+    steady-state request shape hits a compiled program instead of a
+    compile stall. ``max_batch`` caps adaptive request coalescing
+    (``_MicroBatcher``); 1 disables batching entirely. ``data_parallel``
+    shards each (micro-)batch over all local devices (serve.build_predictor
+    — pairs naturally with micro-batching: coalesced requests spread across
+    the chips). Call ``serve_forever()`` on the result (or
+    :func:`run_http_serve` for the CLI wrapper).
     """
     predict, info = build_predictor(
         artifact_path, eval_resize=eval_resize, canvas_hw=canvas_hw,
-        flip=flip, scales=scales)
+        data_parallel=data_parallel, flip=flip, scales=scales)
     server = ThreadingHTTPServer((host, port), _Handler)
     server.predict = predict
     server.info = info
-    server.predict_lock = threading.Lock()
+    server.count_lock = threading.Lock()
     server.requests_served = 0
     server.metrics = _Metrics()
+    server.batcher = _MicroBatcher(predict, max_batch, server.metrics)
     server.verbose = verbose
     server.tta_options = {"flip": bool(flip),
                           "scales": list(scales) if scales else None,
-                          "canvas_hw": list(canvas_hw) if canvas_hw else None}
+                          "canvas_hw": list(canvas_hw) if canvas_hw else None,
+                          "data_parallel": bool(data_parallel),
+                          "max_batch": max(1, int(max_batch))}
     if warmup:
         import jax
 
         h, w = info["load_hw"]
-        dummy = np.zeros((1, h, w, info["in_channels"]), np.float32)
-        jax.device_get(predict(dummy))
+        for b in server.batcher.buckets():
+            dummy = np.zeros((b, h, w, info["in_channels"]), np.float32)
+            jax.device_get(predict(dummy))
     return server
 
 

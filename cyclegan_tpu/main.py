@@ -89,6 +89,12 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--serve_host", type=str, default="127.0.0.1",
                    help="bind address for --serve_http (default loopback; "
                         "use 0.0.0.0 behind a load balancer)")
+    p.add_argument("--serve_http_batch", type=int, default=8,
+                   help="adaptive micro-batching cap for --serve_http: "
+                        "concurrent requests queued behind an in-flight "
+                        "device call coalesce into one batched call of up "
+                        "to this many images (1 disables; power-of-two "
+                        "buckets are pre-compiled at startup)")
     p.add_argument("--serve_scales", type=str, default=None,
                    help="multi-scale TTA at serving, e.g. '0.75,1.0,1.25' "
                         "(needs tiled serving: --serve_canvas_height/width "
@@ -198,6 +204,8 @@ def main(argv=None) -> None:
                 args.serve, host=args.serve_host, port=args.serve_http,
                 eval_resize=resize, canvas_hw=canvas,
                 flip=args.serve_flip or cfg.eval_flip,
+                max_batch=args.serve_http_batch,
+                data_parallel=args.serve_dp,
                 scales=parse_scales(args.serve_scales or cfg.eval_scales))
             return
         serve_lib.run_serve(

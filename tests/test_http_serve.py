@@ -96,7 +96,8 @@ def test_healthz_and_info(server):
     assert info["head"] == "segment"
     assert info["num_classes"] == NUM_CLASSES
     assert info["window_hw"] == [H, W] and info["load_hw"] == [H, W]
-    assert info["tta"] == {"flip": False, "scales": None, "canvas_hw": None}
+    assert info["tta"] == {"flip": False, "scales": None, "canvas_hw": None,
+                           "data_parallel": False, "max_batch": 8}
 
 
 def test_predict_matches_live(server, setup):
@@ -158,6 +159,123 @@ def test_concurrent_requests(server, setup):
         expect = np.asarray(predict(
             state.g_i2l, jnp.asarray(img[None])))[0].astype(np.uint8)
         np.testing.assert_array_equal(results[i], expect)
+
+
+def test_micro_batcher_coalesces_deterministically():
+    """Unit-level proof of the adaptive micro-batcher: requests that arrive
+    while a device call is in flight are served as ONE padded batched call,
+    rows map back to their own requests, and padding never leaks."""
+    rounds = []            # batch shapes the fake device saw
+    first_call_entered = threading.Event()
+    followers_queued = threading.Event()
+
+    def fake_predict(batch):
+        rounds.append(batch.shape[0])
+        if len(rounds) == 1:
+            first_call_entered.set()
+            # Hold the "device" until the other requests are queued — makes
+            # the coalescing deterministic instead of timing-dependent.
+            assert followers_queued.wait(timeout=30)
+        # Identity-ish predictor: row i's output encodes its input's value.
+        return batch[:, :, :, 0]
+
+    mb = http_serve._MicroBatcher(fake_predict, max_batch=4,
+                                  metrics=http_serve._Metrics())
+    imgs = [np.full((2, 2, 1), float(i), np.float32) for i in range(4)]
+    results = [None] * 4
+
+    def call(i):
+        results[i] = mb.predict_one(imgs[i])
+
+    t0 = threading.Thread(target=call, args=(0,))
+    t0.start()
+    assert first_call_entered.wait(timeout=30)
+    rest = [threading.Thread(target=call, args=(i,)) for i in range(1, 4)]
+    for t in rest:
+        t.start()
+    # Wait until all 3 followers are actually in the queue, then release.
+    for _ in range(600):
+        with mb._mutex:
+            if len(mb._queue) == 3:
+                break
+        threading.Event().wait(0.05)
+    followers_queued.set()
+    t0.join(timeout=30)
+    for t in rest:
+        t.join(timeout=30)
+    for i in range(4):
+        np.testing.assert_array_equal(results[i],
+                                      np.full((2, 2), i, np.uint8))
+    # Round 1: the lone leader (batch 1). Round 2: the 3 queued followers
+    # coalesced — padded to the power-of-two bucket 4, not three 1-calls.
+    assert rounds == [1, 4]
+
+
+def test_micro_batcher_error_propagates_to_all_waiters():
+    """A device-call failure must fail every coalesced request (not hang
+    followers waiting on their event)."""
+    def bad_predict(batch):
+        raise RuntimeError("device exploded")
+
+    mb = http_serve._MicroBatcher(bad_predict, max_batch=4,
+                                  metrics=http_serve._Metrics())
+    errs = [None, None]
+
+    def call(i):
+        try:
+            mb.predict_one(np.zeros((2, 2, 1), np.float32))
+        except RuntimeError as e:
+            errs[i] = str(e)
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert errs[0] == "device exploded" and errs[1] == "device exploded"
+
+
+def test_concurrent_requests_with_micro_batching(setup):
+    """End-to-end: a max_batch=4 server under 8 parallel posts answers every
+    request with the single-image prediction (bit-parity), and /metrics
+    accounts every image (images_total == 8, device calls <= 8)."""
+    seg_path, _, trainer, state = setup
+    srv = http_serve.make_server(seg_path, port=0, max_batch=4)
+    url, _ = _start(srv)
+    try:
+        rng = np.random.default_rng(13)
+        imgs = [rng.integers(0, 256, (30, 40, 3), np.uint8)
+                for _ in range(8)]
+        results = [None] * len(imgs)
+
+        def post(i):
+            _, _, body = _post(url + "/predict?format=mask",
+                               _png_bytes(imgs[i]))
+            results[i] = np.asarray(Image.open(io.BytesIO(body)))
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        predict = jax.jit(trainer.predict)
+        for i, src in enumerate(imgs):
+            img, _ = eval_transform(src, None, crop_hw=(H, W), mode="resize")
+            expect = np.asarray(predict(
+                state.g_i2l, jnp.asarray(img[None])))[0].astype(np.uint8)
+            np.testing.assert_array_equal(results[i], expect)
+        with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+            text = r.read().decode()
+        images_line = [ln for ln in text.splitlines()
+                       if ln.startswith("cyclegan_tpu_predict_images_total")]
+        assert images_line and int(images_line[0].split()[1]) == 8
+        count_line = [ln for ln in text.splitlines()
+                      if ln.startswith("cyclegan_tpu_predict_seconds_count")]
+        assert 1 <= int(count_line[0].split()[1]) <= 8
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_oversized_body_rejected_without_read(server):
@@ -230,6 +348,14 @@ def test_metrics_endpoint(setup):
                 in text)
         assert "cyclegan_tpu_predict_seconds_count 2" in text
         assert 'cyclegan_tpu_predict_seconds_bucket{le="+Inf"} 2' in text
+        # Prometheus histogram invariants: buckets non-decreasing, and the
+        # largest finite bucket never exceeds +Inf (= count). Regression
+        # test for the double-accumulation bug (observe stored cumulative
+        # counts AND render cumsum'd them).
+        buckets = [int(ln.split()[1]) for ln in text.splitlines()
+                   if ln.startswith("cyclegan_tpu_predict_seconds_bucket")]
+        assert buckets == sorted(buckets), buckets
+        assert buckets[-2] <= buckets[-1], buckets  # finite max <= +Inf
         # sum is a positive float
         sum_line = [ln for ln in text.splitlines()
                     if ln.startswith("cyclegan_tpu_predict_seconds_sum")][0]
@@ -263,6 +389,45 @@ def test_duplicate_class_names_skip_named_histogram(setup, tmp_path):
         out = json.loads(body)
         assert "class_pixels" in out
         assert "class_pixels_named" not in out
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_dp_endpoint_matches_single_device(setup):
+    """--serve_dp over HTTP: an 8-virtual-device DP server (micro-batching
+    on) answers bit-identically to the plain single-device server."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    seg_path, _, trainer, state = setup
+    srv = http_serve.make_server(seg_path, port=0, max_batch=4,
+                                 data_parallel=True)
+    url, _ = _start(srv)
+    try:
+        with urllib.request.urlopen(url + "/info", timeout=30) as r:
+            assert json.load(r)["tta"]["data_parallel"] is True
+        rng = np.random.default_rng(17)
+        imgs = [rng.integers(0, 256, (30, 40, 3), np.uint8)
+                for _ in range(6)]
+        results = [None] * len(imgs)
+
+        def post(i):
+            _, _, body = _post(url + "/predict?format=mask",
+                               _png_bytes(imgs[i]))
+            results[i] = np.asarray(Image.open(io.BytesIO(body)))
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        predict = jax.jit(trainer.predict)
+        for i, src in enumerate(imgs):
+            img, _ = eval_transform(src, None, crop_hw=(H, W), mode="resize")
+            expect = np.asarray(predict(
+                state.g_i2l, jnp.asarray(img[None])))[0].astype(np.uint8)
+            np.testing.assert_array_equal(results[i], expect)
     finally:
         srv.shutdown()
         srv.server_close()

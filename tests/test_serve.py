@@ -80,6 +80,27 @@ def test_serve_matches_live_predictor(artifact, image_dir, tmp_path):
             got, decode_colormap(expect[i].astype(np.uint8)))
 
 
+def test_serve_pipeline_depth_invariant(artifact, image_dir, tmp_path,
+                                        monkeypatch):
+    """The async one-deep fetch pipeline must be output-invariant: depth 0
+    (serial fetch-per-chunk), the default depth 1, and a depth larger than
+    the number of chunks all write identical PNGs and scores."""
+    path, _, _ = artifact
+    outs = {}
+    for depth in ("0", "1", "7"):
+        monkeypatch.setenv("CYCLEGAN_TPU_INFER_DEPTH", depth)
+        out = str(tmp_path / f"preds_{depth}")
+        res = serve_lib.run_serve(path, image_dir, out, batch_size=2)
+        assert res["images"] == N_IMAGES
+        outs[depth] = {
+            n: np.asarray(Image.open(os.path.join(out, n)))
+            for n in sorted(os.listdir(out))}
+    assert outs["0"].keys() == outs["1"].keys() == outs["7"].keys()
+    for n in outs["0"]:
+        np.testing.assert_array_equal(outs["0"][n], outs["1"][n])
+        np.testing.assert_array_equal(outs["0"][n], outs["7"][n])
+
+
 def test_serve_scores_against_masks(artifact, image_dir, tmp_path, capsys):
     path, trainer, state = artifact
     gt = tmp_path / "gt"
