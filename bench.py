@@ -294,11 +294,16 @@ def _is_transient_tpu_error(exc: BaseException) -> bool:
     """The axon tunnel's third failure mode (after fast-RuntimeError and
     silent hang): a mid-run "TPU backend error (Internal)" / UNAVAILABLE
     from a live backend. Observed 2026-08-19; a 60 s-backoff retry in a
-    fresh process succeeded."""
+    fresh process succeeded. Match tunnel-shaped signatures only — bare
+    "internal"/"backend"/"connection" also appear in deterministic XLA
+    errors, and classifying those as transient costs two full re-exec
+    probe ladders (~an hour) before the real error surfaces. main()
+    additionally gates on the run having resolved to a TPU platform."""
     s = repr(exc).lower()
     return any(k in s for k in
-               ("internal", "unavailable", "deadline", "backend",
-                "connection", "socket closed"))
+               ("tpu backend error", "unavailable", "deadline exceeded",
+                "socket closed", "connection reset", "connection refused",
+                "failed to connect"))
 
 
 def _reexec_with_backoff(attempt: int, wait_s: int = 60) -> None:
@@ -361,7 +366,11 @@ def main() -> None:
     try:
         _dispatch(args)
     except Exception as exc:
-        if args._attempt < 2 and _is_transient_tpu_error(exc):
+        # Never re-exec a CPU(-fallback) run: its failures are deterministic
+        # (no tunnel in the path), and a retry would just repeat the ~10-min
+        # probe ladder before failing identically.
+        on_tpu = "cpu" not in (_RESOLVED_PLATFORM or "cpu")
+        if args._attempt < 2 and on_tpu and _is_transient_tpu_error(exc):
             import sys
             import traceback
 
@@ -372,8 +381,13 @@ def main() -> None:
         raise
 
 
+_RESOLVED_PLATFORM: str | None = None  # set by _dispatch for main()'s
+# transient-retry gate (re-exec only makes sense for tunnel-backed runs)
+
+
 def _dispatch(args) -> None:
-    platform = _resolve_platform()
+    global _RESOLVED_PLATFORM
+    platform = _RESOLVED_PLATFORM = _resolve_platform()
     # Resolve the family per mode ONLY when not explicitly requested (an
     # explicit --gen_net is always honored — advisor r3).
     gen_net = args.gen_net or (

@@ -76,6 +76,8 @@ class _Metrics:
         self.predict_seconds_sum = 0.0
         self.predict_seconds_count = 0
         self.bucket_counts = [0] * len(_LATENCY_BUCKETS)
+        self.device_call_seconds_sum = 0.0
+        self.device_call_count = 0
         self.batched_images_sum = 0  # images served across device calls
 
     def count(self, route: str, code: int) -> None:
@@ -83,11 +85,15 @@ class _Metrics:
         with self.lock:
             self.requests_total[key] = self.requests_total.get(key, 0) + 1
 
-    def observe_predict(self, seconds: float, n_images: int = 1) -> None:
+    def observe_predict(self, seconds: float) -> None:
+        """Per-REQUEST serving latency: queue wait + however many device
+        rounds it took until this request's row came back. Observed once per
+        request (count == requests), so p99 dashboards see exactly the
+        latency a coalesced-behind-a-round request experiences — the device
+        call itself is tracked separately by observe_device_call."""
         with self.lock:
             self.predict_seconds_sum += seconds
             self.predict_seconds_count += 1
-            self.batched_images_sum += n_images
             for i, ub in enumerate(_LATENCY_BUCKETS):
                 if seconds <= ub:
                     # Per-bucket storage; render() does the cumulative sum
@@ -96,6 +102,12 @@ class _Metrics:
                     # accumulated — buckets came out non-monotonic vs +Inf).
                     self.bucket_counts[i] += 1
                     break
+
+    def observe_device_call(self, seconds: float, n_images: int) -> None:
+        with self.lock:
+            self.device_call_seconds_sum += seconds
+            self.device_call_count += 1
+            self.batched_images_sum += n_images
 
     def render(self) -> str:
         with self.lock:
@@ -107,8 +119,9 @@ class _Metrics:
             for key, n in sorted(self.requests_total.items()):
                 lines.append(f"cyclegan_tpu_requests_total{{{key}}} {n}")
             lines += [
-                "# HELP cyclegan_tpu_predict_seconds Device predict call "
-                "latency (decode/encode excluded)",
+                "# HELP cyclegan_tpu_predict_seconds Per-request predict "
+                "latency: queue wait + device round(s) (decode/encode "
+                "excluded); count == requests",
                 "# TYPE cyclegan_tpu_predict_seconds histogram",
             ]
             cum = 0
@@ -124,8 +137,15 @@ class _Metrics:
             lines.append(f"cyclegan_tpu_predict_seconds_count "
                          f"{self.predict_seconds_count}")
             lines += [
+                "# HELP cyclegan_tpu_device_call_seconds Device call "
+                "latency totals (one coalesced batch per call)",
+                "# TYPE cyclegan_tpu_device_call_seconds summary",
+                f"cyclegan_tpu_device_call_seconds_sum "
+                f"{self.device_call_seconds_sum}",
+                f"cyclegan_tpu_device_call_seconds_count "
+                f"{self.device_call_count}",
                 "# HELP cyclegan_tpu_predict_images_total Images served by "
-                "device calls (ratio to predict_seconds_count = mean "
+                "device calls (ratio to device_call_seconds_count = mean "
                 "micro-batch size)",
                 "# TYPE cyclegan_tpu_predict_images_total counter",
                 f"cyclegan_tpu_predict_images_total {self.batched_images_sum}",
@@ -202,7 +222,8 @@ class _MicroBatcher:
                                      batch.dtype)])
             t0 = time.perf_counter()
             pred = np.asarray(jax.device_get(self.predict(batch)))
-            self.metrics.observe_predict(time.perf_counter() - t0, len(take))
+            self.metrics.observe_device_call(time.perf_counter() - t0,
+                                             len(take))
             for s, p in zip(take, pred):
                 s.out = p.astype(np.uint8)
         except BaseException as e:  # deliver to every waiter, don't hang them
@@ -213,21 +234,33 @@ class _MicroBatcher:
                 s.done.set()
 
     def predict_one(self, img: np.ndarray) -> np.ndarray:
+        import time
+
+        t0 = time.perf_counter()
         slot = _Slot(img)
         with self._mutex:
             self._queue.append(slot)
         # Compete to lead; a slot served by another leader's round exits the
-        # loop via its event. The short acquire timeout re-checks doneness so
-        # a follower never blocks on a lock it no longer needs.
+        # loop via its event. Followers park on their OWN slot event (not the
+        # device lock): when a leader's round delivers their row, done.set()
+        # wakes them immediately — blocking in acquire(timeout) instead left
+        # a finished request waiting out up to the full 50 ms under load.
+        # The short wait timeout only bounds the leadership-handoff latency
+        # for slots that overflowed a full round (queue > max_batch).
         while not slot.done.is_set():
-            if self._device.acquire(timeout=0.05):
+            if self._device.acquire(blocking=False):
                 try:
                     if not slot.done.is_set():
                         self._serve_round()
                 finally:
                     self._device.release()
+            else:
+                slot.done.wait(0.05)
         if slot.err is not None:
             raise slot.err
+        # Per-request latency (queue wait + device rounds); error paths are
+        # visible in requests_total{code="500"} instead.
+        self.metrics.observe_predict(time.perf_counter() - t0)
         return slot.out
 
 

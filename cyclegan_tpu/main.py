@@ -171,12 +171,13 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-        if args.platform == "cpu":
-            # Stale XLA:CPU AOT cache entries from another VM's ISA can
-            # SIGILL (see cpuflags.pin_cpu_compile_cache docstring).
-            from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache
+    # Stale XLA:CPU AOT cache entries from another VM's ISA can SIGILL.
+    # Pinning keys off the RESOLVED backend (not just --platform cpu) so a
+    # run that silently falls back to CPU — tunnel down, plain CPU box —
+    # is covered too (cpuflags.maybe_pin_cpu_compile_cache docstring).
+    from cyclegan_tpu.utils.cpuflags import maybe_pin_cpu_compile_cache
 
-            pin_cpu_compile_cache()
+    maybe_pin_cpu_compile_cache()
     from cyclegan_tpu.train import runner  # deferred: jax init is slow
 
     if args.serve:

@@ -30,6 +30,7 @@ from cyclegan_tpu.data.palette import decode_colormap, encode_colormap
 from cyclegan_tpu.data.transforms import eval_transform
 from cyclegan_tpu.export import load_artifact
 from cyclegan_tpu.train import metrics as metrics_lib
+from cyclegan_tpu.utils.pipeline import InferencePipeline
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 
@@ -102,6 +103,12 @@ def build_predictor(artifact_path: str, *,
     ``load_hw``, ``in_channels``, ``num_classes``, ``head``, ``window_hw``
     and the manifest. Shared by directory serving (:func:`run_serve`) and
     the HTTP endpoint (cyclegan_tpu.http_serve)."""
+    # Library funnel for every serving path (run_serve, the HTTP endpoint,
+    # direct callers): a CPU-resolved host must get the ISA-fingerprinted
+    # compile cache before the first artifact call compiles.
+    from cyclegan_tpu.utils.cpuflags import maybe_pin_cpu_compile_cache
+
+    maybe_pin_cpu_compile_cache()
     if eval_resize not in ("resize", "center_crop"):
         # "tile" as an eval_resize value is the framework-eval spelling;
         # serving spells it --serve_canvas_height/width (needs the logits
@@ -253,42 +260,33 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     hist = None
     scored = 0
     t0 = time.perf_counter()
-    # One-deep pipeline: JAX dispatch is async, so enqueue chunk k+1 on the
-    # device BEFORE fetching chunk k's predictions — the device computes the
-    # next batch while the host decodes inputs and colorizes/writes PNGs.
-    # Results are consumed strictly in order; outputs are bit-identical to
-    # the serial loop (only the fetch point moves). Depth knob for A/B:
-    # CYCLEGAN_TPU_INFER_DEPTH (0 = serial fetch-per-chunk).
-    depth = max(0, int(os.environ.get("CYCLEGAN_TPU_INFER_DEPTH", "1")))
-    pending: list[tuple[list[str], object]] = []
-
-    def _drain(limit: int) -> None:
+    # Async dispatch/drain mechanics live in utils.pipeline (shared with
+    # runner.run_test): enqueue chunk k+1 before fetching chunk k so the
+    # device computes the next batch while the host decodes/writes PNGs.
+    def _consume(chunk: list[str], pred) -> None:
         nonlocal hist, scored
-        while len(pending) > limit:
-            chunk, dev = pending.pop(0)
-            pred = np.asarray(jax.device_get(dev))
-            for name, p in zip(chunk, pred):
-                stem = os.path.splitext(name)[0]
-                Image.fromarray(decode_colormap(p.astype(np.uint8))).save(
-                    os.path.join(output_dir, f"{stem}_pred.png"))
-                if gt_dir is None:
-                    continue
-                mask_path = os.path.join(gt_dir, stem + ".png")
-                if not os.path.exists(mask_path):
-                    continue
-                lab = _load_mask(mask_path, load_hw, num_classes, eval_resize)
-                hh = np.asarray(metrics_lib.confusion_matrix(
-                    p, lab, num_classes))
-                hist = hh if hist is None else hist + hh
-                scored += 1
+        for name, p in zip(chunk, pred):
+            stem = os.path.splitext(name)[0]
+            Image.fromarray(decode_colormap(p.astype(np.uint8))).save(
+                os.path.join(output_dir, f"{stem}_pred.png"))
+            if gt_dir is None:
+                continue
+            mask_path = os.path.join(gt_dir, stem + ".png")
+            if not os.path.exists(mask_path):
+                continue
+            lab = _load_mask(mask_path, load_hw, num_classes, eval_resize)
+            hh = np.asarray(metrics_lib.confusion_matrix(
+                p, lab, num_classes))
+            hist = hh if hist is None else hist + hh
+            scored += 1
 
+    pipe = InferencePipeline(_consume)
     for chunk in _chunks(names, max(batch_size, 1)):
         batch = np.stack([
             _load_image(os.path.join(input_dir, n), load_hw, c, eval_resize)
             for n in chunk])
-        pending.append((chunk, predict_batch(batch)))
-        _drain(depth)
-    _drain(0)
+        pipe.put(chunk, predict_batch(batch))
+    pipe.flush()
 
     elapsed = time.perf_counter() - t0
     out = {"images": len(names), "scored": scored,

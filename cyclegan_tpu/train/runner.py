@@ -36,6 +36,7 @@ from cyclegan_tpu.train.checkpoint import CheckpointManager
 from cyclegan_tpu.train.cyclegan import CycleGANTrainer
 from cyclegan_tpu.train.supervised import SupervisedTrainer
 from cyclegan_tpu.utils.config import Config
+from cyclegan_tpu.utils.pipeline import InferencePipeline
 from cyclegan_tpu.utils.observability import (
     MetricsLogger, StepProfiler, enable_debug_flags)
 
@@ -686,35 +687,28 @@ def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
     hist = None
     idx = 0
     n_total = len(val_ds)
-    # One-deep pipeline: predict_jit/eval_jit dispatch asynchronously, so
-    # enqueue batch k+1 before fetching batch k's predictions — the device
-    # runs the next forward while the host colorizes and writes PNGs.
-    # Consumed in order; outputs identical to the serial loop. Depth knob
-    # shared with serve.run_serve: CYCLEGAN_TPU_INFER_DEPTH (0 = serial).
-    depth = max(0, int(os.environ.get("CYCLEGAN_TPU_INFER_DEPTH", "1")))
-    pending: list = []
-
-    def _drain(limit: int) -> None:
+    # Async dispatch/drain mechanics live in utils.pipeline (shared with
+    # serve.run_serve): enqueue batch k+1 before fetching batch k so the
+    # device runs the next forward while the host colorizes/writes PNGs.
+    def _consume(_, pred) -> None:
         nonlocal idx
-        while len(pending) > limit:
-            pred = np.asarray(jax.device_get(pending.pop(0)))
-            for i in range(pred.shape[0]):
-                if idx >= n_total:
-                    break  # batch padding rows (ignore-label) — not real
-                Image.fromarray(
-                    decode_colormap(pred[i].astype(np.uint8))).save(
-                        os.path.join(cfg.results_dir, f"pred_{idx:05d}.png"))
-                idx += 1
+        for i in range(pred.shape[0]):
+            if idx >= n_total:
+                break  # batch padding rows (ignore-label) — not real
+            Image.fromarray(
+                decode_colormap(pred[i].astype(np.uint8))).save(
+                    os.path.join(cfg.results_dir, f"pred_{idx:05d}.png"))
+            idx += 1
 
+    pipe = InferencePipeline(_consume)
     for batch in val_loader.epoch(0):
-        pending.append(predict_jit(params, batch["image"]))
+        pipe.put(None, predict_jit(params, batch["image"]))
         if "label" in batch:
             # hist accumulation stays device-side and async; only the final
             # scores() call materializes it.
             h = eval_jit(params, batch)
             hist = h if hist is None else hist + h
-        _drain(depth)
-    _drain(0)
+    pipe.flush()
     out = {}
     if hist is not None:
         s = metrics_lib.scores(hist)

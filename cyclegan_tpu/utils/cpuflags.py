@@ -73,3 +73,23 @@ def pin_cpu_compile_cache() -> None:
     suffix = f"-cpu-{host_isa_fingerprint()}"
     if not base.endswith(suffix):
         jax.config.update("jax_compilation_cache_dir", base + suffix)
+
+
+def maybe_pin_cpu_compile_cache() -> None:
+    """Pin the compile cache iff the RESOLVED backend is CPU.
+
+    The mechanism-level companion to :func:`pin_cpu_compile_cache` for call
+    sites that do not force a platform themselves: a run launched without
+    ``--platform cpu`` on a host where jax falls back to CPU (tunnel down, or
+    a plain CPU box) must still get the ISA-fingerprinted cache dir, or it
+    shares stale XLA:CPU AOT entries across VM swaps. Touching
+    ``jax.default_backend()`` initializes the backend — call this only from
+    funnels that are about to use devices anyway (it adds no new hang risk
+    there; the tunnel's hang mode would hit the very next device use).
+    Must run BEFORE the funnel's first compile (config is read per-compile,
+    so post-backend-init updates still take effect).
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pin_cpu_compile_cache()

@@ -79,12 +79,15 @@ def test_main_inference_json_contract(monkeypatch, capsys):
 
 
 def test_transient_error_triggers_bounded_reexec(monkeypatch):
-    # A mid-run tunnel "Internal" error must re-exec with --_attempt+1
-    # (fresh backend); a third failure must propagate.
+    # A mid-run tunnel "Internal" error on a TPU-resolved run must re-exec
+    # with --_attempt+1 (fresh backend); a third failure must propagate.
     recorded = {}
-    monkeypatch.setattr(bench, "_dispatch",
-                        lambda a: (_ for _ in ()).throw(
-                            RuntimeError("INTERNAL: TPU backend error")))
+
+    def tpu_then_boom(a):
+        bench._RESOLVED_PLATFORM = "tpu"
+        raise RuntimeError("INTERNAL: TPU backend error")
+
+    monkeypatch.setattr(bench, "_dispatch", tpu_then_boom)
     monkeypatch.setattr(bench, "_reexec_with_backoff",
                         lambda attempt, wait_s=60: recorded.update(
                             attempt=attempt) or (_ for _ in ()).throw(
@@ -105,6 +108,28 @@ def test_transient_error_triggers_bounded_reexec(monkeypatch):
     monkeypatch.setattr(sys, "argv", ["bench.py", "--size", "32"])
     with pytest.raises(ValueError):
         bench.main()
+
+    # A CPU(-fallback) run never re-execs: no tunnel in the path means the
+    # failure is deterministic, and the retry would only repeat the ~10-min
+    # probe ladder. Same error text as the TPU case — only the platform
+    # gate differs.
+    def cpu_then_boom(a):
+        bench._RESOLVED_PLATFORM = "cpu-fallback"
+        raise RuntimeError("INTERNAL: TPU backend error")
+
+    monkeypatch.setattr(bench, "_dispatch", cpu_then_boom)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--size", "32"])
+    with pytest.raises(RuntimeError, match="INTERNAL"):
+        bench.main()
+
+    # Deterministic XLA errors that merely CONTAIN scary words ("internal",
+    # "backend") are not transient-matched (the narrow signature list).
+    assert not bench._is_transient_tpu_error(
+        RuntimeError("INTERNAL: during compilation"))
+    assert not bench._is_transient_tpu_error(
+        RuntimeError("no backend found"))
+    assert bench._is_transient_tpu_error(
+        RuntimeError("UNAVAILABLE: socket closed"))
 
 
 def test_reexec_strips_prior_attempt_flag(monkeypatch):

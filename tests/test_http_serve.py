@@ -270,9 +270,14 @@ def test_concurrent_requests_with_micro_batching(setup):
         images_line = [ln for ln in text.splitlines()
                        if ln.startswith("cyclegan_tpu_predict_images_total")]
         assert images_line and int(images_line[0].split()[1]) == 8
+        # Per-request histogram: EVERY request observes its own latency
+        # (queue wait included), even when coalesced into shared rounds.
         count_line = [ln for ln in text.splitlines()
                       if ln.startswith("cyclegan_tpu_predict_seconds_count")]
-        assert 1 <= int(count_line[0].split()[1]) <= 8
+        assert int(count_line[0].split()[1]) == 8
+        call_line = [ln for ln in text.splitlines()
+                     if ln.startswith("cyclegan_tpu_device_call_seconds_count")]
+        assert 1 <= int(call_line[0].split()[1]) <= 8
     finally:
         srv.shutdown()
         srv.server_close()

@@ -63,12 +63,20 @@ def test_cpu_compile_cache_is_host_fingerprinted():
     """CPU-forced runs must not share XLA:CPU AOT cache entries across hosts
     with different ISA feature sets (stale entries can SIGILL — see
     cpuflags.pin_cpu_compile_cache). conftest pins the suffix for the whole
-    suite; re-pinning must be idempotent."""
+    suite; re-pinning must be idempotent. (The maybe_pin variant is
+    covered implicitly: conftest forces cpu, so both spell the same pin.)"""
+    import os
+
     import jax
 
     from cyclegan_tpu.utils.cpuflags import (
         host_isa_fingerprint, pin_cpu_compile_cache)
 
+    if os.environ.get("CYCLEGAN_TPU_NO_COMPILE_CACHE"):
+        import pytest
+
+        pytest.skip("compile cache disabled by CYCLEGAN_TPU_NO_COMPILE_CACHE"
+                    " — nothing to fingerprint")
     fp = host_isa_fingerprint()
     assert len(fp) == 10 and fp == host_isa_fingerprint()
     d1 = jax.config.jax_compilation_cache_dir
