@@ -88,8 +88,18 @@ def maybe_pin_cpu_compile_cache() -> None:
     there; the tunnel's hang mode would hit the very next device use).
     Must run BEFORE the funnel's first compile (config is read per-compile,
     so post-backend-init updates still take effect).
+
+    When NO backend can initialize (e.g. the axon sitecustomize pins
+    ``jax_platforms=axon,cpu`` and the tunnel is down — an explicit platform
+    list does NOT fall back), ``default_backend()`` raises; that failure
+    belongs to the caller's own first device use, not to cache pinning, so
+    it is swallowed here.
     """
     import jax
 
-    if jax.default_backend() == "cpu":
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return
+    if backend == "cpu":
         pin_cpu_compile_cache()

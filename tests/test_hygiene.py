@@ -83,3 +83,20 @@ def test_cpu_compile_cache_is_host_fingerprinted():
     assert d1 and d1.endswith(f"-cpu-{fp}")
     pin_cpu_compile_cache()
     assert jax.config.jax_compilation_cache_dir == d1
+
+
+def test_maybe_pin_swallows_backend_init_failure(monkeypatch):
+    """With the sitecustomize's explicit jax_platforms=axon,cpu and the
+    tunnel down, default_backend() RAISES (an explicit platform list does
+    not fall back). maybe_pin must not be the raiser — the caller's own
+    first device use owns that failure."""
+    import jax
+
+    from cyclegan_tpu.utils import cpuflags
+
+    before = jax.config.jax_compilation_cache_dir
+    monkeypatch.setattr(jax, "default_backend",
+                        lambda: (_ for _ in ()).throw(
+                            RuntimeError("Unable to initialize backend")))
+    cpuflags.maybe_pin_cpu_compile_cache()  # must not raise
+    assert jax.config.jax_compilation_cache_dir == before
