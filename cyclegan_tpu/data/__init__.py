@@ -11,6 +11,8 @@ from cyclegan_tpu.data.palette import (
     voc_colormap,
     encode_colormap,
     decode_colormap,
+    palette_image,
+    save_prediction_png,
     one_hot,
 )
 from cyclegan_tpu.data.datasets import make_dataset, SegmentationDataset
@@ -20,6 +22,8 @@ __all__ = [
     "voc_colormap",
     "encode_colormap",
     "decode_colormap",
+    "palette_image",
+    "save_prediction_png",
     "one_hot",
     "make_dataset",
     "SegmentationDataset",

@@ -6,6 +6,7 @@ encoding for feeding the label->image generator").
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -52,6 +53,42 @@ def decode_colormap(labels: np.ndarray) -> np.ndarray:
     """Class-index map (H, W) -> RGB (H, W, 3) uint8 via the VOC palette."""
     cmap = voc_colormap(256)
     return cmap[np.clip(labels, 0, 255)]
+
+
+def palette_image(labels: np.ndarray):
+    """Class-index map (H, W) -> P-mode PIL image carrying the VOC palette.
+
+    Renders pixel-identically to ``decode_colormap`` (the embedded palette
+    IS ``voc_colormap``), but PNG-encodes one index byte per pixel instead
+    of three RGB bytes: measured 1.1 ms vs 36.6 ms encode and 3 KiB vs
+    50 KiB per 256p prediction on the serving host (BASELINE.md round-4
+    serving table). It is also the format PASCAL VOC distributes its own
+    GT masks in, so served predictions round-trip through the mask readers
+    (``serve._load_mask`` sees plain indices) unchanged.
+    """
+    from PIL import Image
+
+    im = Image.fromarray(
+        np.ascontiguousarray(np.clip(labels, 0, 255).astype(np.uint8)),
+        mode="P")
+    im.putpalette(voc_colormap(256).tobytes())
+    return im
+
+
+def save_prediction_png(labels: np.ndarray, fp) -> None:
+    """Write a prediction class map as a colorized PNG (path or file obj).
+
+    Default: P-mode palette PNG (``palette_image`` — the serving hot
+    path's dominant host cost was RGB PNG encode). Set
+    ``CYCLEGAN_TPU_PRED_PNG=rgb`` to restore flat RGB output for
+    downstream consumers that read pixels without palette awareness.
+    """
+    from PIL import Image
+
+    if os.environ.get("CYCLEGAN_TPU_PRED_PNG", "palette") == "rgb":
+        Image.fromarray(decode_colormap(labels)).save(fp, format="PNG")
+    else:
+        palette_image(labels).save(fp, format="PNG")
 
 
 def one_hot(labels: np.ndarray, num_classes: int, *, ignore_index: int | None = 255) -> np.ndarray:

@@ -53,7 +53,7 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from cyclegan_tpu.data.palette import decode_colormap
+from cyclegan_tpu.data.palette import save_prediction_png
 from cyclegan_tpu.data.transforms import eval_transform
 from cyclegan_tpu.serve import build_predictor
 
@@ -285,6 +285,15 @@ def _png_bytes(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def _pred_png_bytes(pred: np.ndarray) -> bytes:
+    """Colorized prediction PNG (P-mode palette by default — the RGB
+    encode was the endpoint's dominant per-request host cost; see
+    palette.save_prediction_png)."""
+    buf = io.BytesIO()
+    save_prediction_png(pred, buf)
+    return buf.getvalue()
+
+
 class _Handler(BaseHTTPRequestHandler):
     # The server object carries predict/info/lock (see make_server).
     protocol_version = "HTTP/1.1"
@@ -374,7 +383,7 @@ class _Handler(BaseHTTPRequestHandler):
         with self.server.count_lock:
             self.server.requests_served += 1
         if fmt == "png":
-            self._reply(200, _png_bytes(decode_colormap(pred)), "image/png")
+            self._reply(200, _pred_png_bytes(pred), "image/png")
         elif fmt == "mask":
             self._reply(200, _png_bytes(pred), "image/png")
         else:

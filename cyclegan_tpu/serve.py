@@ -26,7 +26,7 @@ import jax
 import numpy as np
 
 from cyclegan_tpu.data.datasets import class_names
-from cyclegan_tpu.data.palette import decode_colormap, encode_colormap
+from cyclegan_tpu.data.palette import encode_colormap, save_prediction_png
 from cyclegan_tpu.data.transforms import eval_transform
 from cyclegan_tpu.export import load_artifact
 from cyclegan_tpu.train import metrics as metrics_lib
@@ -247,8 +247,6 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     rescaled canvas can feed it; every scaled canvas must stay >= the
     window. Composes with ``flip`` (average over scales x mirror).
     """
-    from PIL import Image
-
     predict_batch, info = build_predictor(
         artifact_path, eval_resize=eval_resize, canvas_hw=canvas_hw,
         data_parallel=data_parallel, flip=flip, scales=scales)
@@ -267,7 +265,8 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
         nonlocal hist, scored
         for name, p in zip(chunk, pred):
             stem = os.path.splitext(name)[0]
-            Image.fromarray(decode_colormap(p.astype(np.uint8))).save(
+            save_prediction_png(
+                p.astype(np.uint8),
                 os.path.join(output_dir, f"{stem}_pred.png"))
             if gt_dir is None:
                 continue

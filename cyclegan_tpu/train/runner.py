@@ -26,7 +26,7 @@ from cyclegan_tpu.data.datasets import (
     DATASET_SPECS, class_names, make_dataset, split_labeled)
 from cyclegan_tpu.data.loader import (
     Loader, paired_iterator, paired_steps_per_epoch)
-from cyclegan_tpu.data.palette import decode_colormap
+from cyclegan_tpu.data.palette import save_prediction_png
 from cyclegan_tpu.parallel import (
     make_mesh, replicate_state, shard_batch, jit_step, select_step)
 from cyclegan_tpu.parallel import distributed
@@ -661,11 +661,10 @@ def _dump_samples(cfg: Config, trainer: CycleGANTrainer, state, val_loader: Load
     for i in range(min(n, pred.shape[0])):
         stem = os.path.join(cfg.results_dir, f"epoch{epoch}_sample{i}")
         Image.fromarray(to_u8(imgs[i])).save(f"{stem}_input.png")
-        Image.fromarray(decode_colormap(pred[i].astype(np.uint8))).save(
-            f"{stem}_pred.png")
+        save_prediction_png(pred[i].astype(np.uint8), f"{stem}_pred.png")
         if "label" in batch:
-            Image.fromarray(decode_colormap(
-                batch["label"][i].astype(np.uint8))).save(f"{stem}_gt.png")
+            save_prediction_png(batch["label"][i].astype(np.uint8),
+                                f"{stem}_gt.png")
         if gen is not None:
             Image.fromarray(gen[i]).save(f"{stem}_generated.png")
 
@@ -683,7 +682,6 @@ def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
     eval_jit, predict_jit = _make_eval_fns(cfg, trainer)
 
     os.makedirs(cfg.results_dir, exist_ok=True)
-    from PIL import Image
     hist = None
     idx = 0
     n_total = len(val_ds)
@@ -695,9 +693,9 @@ def run_test(cfg: Config, *, semisupervised: bool = True) -> dict:
         for i in range(pred.shape[0]):
             if idx >= n_total:
                 break  # batch padding rows (ignore-label) — not real
-            Image.fromarray(
-                decode_colormap(pred[i].astype(np.uint8))).save(
-                    os.path.join(cfg.results_dir, f"pred_{idx:05d}.png"))
+            save_prediction_png(
+                pred[i].astype(np.uint8),
+                os.path.join(cfg.results_dir, f"pred_{idx:05d}.png"))
             idx += 1
 
     pipe = InferencePipeline(_consume)

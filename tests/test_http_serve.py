@@ -114,8 +114,13 @@ def test_predict_matches_live(server, setup):
 
     status, ctype, body = _post(url + "/predict", _png_bytes(src))
     assert status == 200 and ctype == "image/png"
-    got = np.asarray(Image.open(io.BytesIO(body)))
-    np.testing.assert_array_equal(got, decode_colormap(expect))
+    # P-mode palette PNG: raw read = class indices, RGB render = colorizer.
+    with Image.open(io.BytesIO(body)) as im:
+        assert im.mode == "P"
+        got = np.asarray(im)
+        rgb = np.asarray(im.convert("RGB"))
+    np.testing.assert_array_equal(got, expect)
+    np.testing.assert_array_equal(rgb, decode_colormap(expect))
 
     status, _, body = _post(url + "/predict?format=mask", _png_bytes(src))
     assert status == 200

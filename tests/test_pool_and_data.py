@@ -67,6 +67,39 @@ class TestPalette:
         assert oh[1, 0].sum() == 0  # ignored pixel all-zero
         assert oh[0, 1, 1] == 1 and oh[1, 1, 20] == 1
 
+    def test_palette_png_roundtrip(self, tmp_path):
+        """P-mode prediction PNGs: raw read = indices, RGB render =
+        decode_colormap, and the serve mask reader sees plain indices."""
+        from PIL import Image
+
+        labels = np.random.default_rng(1).integers(
+            0, 21, (16, 16)).astype(np.uint8)
+        labels[0, :4] = 255  # void survives too
+        p = str(tmp_path / "pred.png")
+        palette.save_prediction_png(labels, p)
+        with Image.open(p) as im:
+            assert im.mode == "P"
+            np.testing.assert_array_equal(np.asarray(im), labels)
+            np.testing.assert_array_equal(
+                np.asarray(im.convert("RGB")),
+                palette.decode_colormap(labels))
+        from cyclegan_tpu.serve import _load_mask
+        np.testing.assert_array_equal(
+            _load_mask(p, (16, 16), 21, "resize"), labels)
+
+    def test_prediction_png_rgb_fallback(self, tmp_path, monkeypatch):
+        from PIL import Image
+
+        monkeypatch.setenv("CYCLEGAN_TPU_PRED_PNG", "rgb")
+        labels = np.random.default_rng(2).integers(
+            0, 21, (8, 8)).astype(np.uint8)
+        p = str(tmp_path / "pred.png")
+        palette.save_prediction_png(labels, p)
+        with Image.open(p) as im:
+            assert im.mode == "RGB"
+            np.testing.assert_array_equal(
+                np.asarray(im), palette.decode_colormap(labels))
+
 
 class TestTransforms:
     def test_deterministic_under_seed(self):

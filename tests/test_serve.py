@@ -74,10 +74,15 @@ def test_serve_matches_live_predictor(artifact, image_dir, tmp_path):
     expect = np.asarray(jax.jit(trainer.predict)(state.g_i2l, batch))
     from cyclegan_tpu.data.palette import decode_colormap
     for i in range(N_IMAGES):
-        got = np.asarray(Image.open(
-            os.path.join(out, f"img_{i:02d}_pred.png")))
+        # Predictions are P-mode palette PNGs: raw read = class indices,
+        # RGB render = the VOC colorizer's output.
+        with Image.open(os.path.join(out, f"img_{i:02d}_pred.png")) as im:
+            assert im.mode == "P"
+            got = np.asarray(im)
+            rgb = np.asarray(im.convert("RGB"))
+        np.testing.assert_array_equal(got, expect[i].astype(np.uint8))
         np.testing.assert_array_equal(
-            got, decode_colormap(expect[i].astype(np.uint8)))
+            rgb, decode_colormap(expect[i].astype(np.uint8)))
 
 
 def test_serve_pipeline_depth_invariant(artifact, image_dir, tmp_path,
@@ -160,7 +165,6 @@ def test_tiled_serving_matches_live_tiled_predict(logits_artifact, image_dir,
     assert res["images"] == N_IMAGES
 
     from cyclegan_tpu import eval_tile
-    from cyclegan_tpu.data.palette import decode_colormap
     batch = np.stack([
         serve_lib._load_image(os.path.join(image_dir, f"img_{i:02d}.png"),
                               (48, 36), IN_CH, "resize")
@@ -170,8 +174,7 @@ def test_tiled_serving_matches_live_tiled_predict(logits_artifact, image_dir,
     for i in range(N_IMAGES):
         got = np.asarray(Image.open(os.path.join(out, f"img_{i:02d}_pred.png")))
         assert got.shape[:2] == (48, 36)
-        np.testing.assert_array_equal(
-            got, decode_colormap(expect[i].astype(np.uint8)))
+        np.testing.assert_array_equal(got, expect[i].astype(np.uint8))
 
 
 def test_logits_head_plain_serving_matches_segment(logits_artifact, artifact,

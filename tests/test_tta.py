@@ -139,11 +139,10 @@ def test_serve_flip_matches_live(setup, tmp_path):
                               "resize") for i in range(3)])
     expect = np.asarray(jax.jit(lambda p, x: jnp.argmax(
         tta.flip_avg(trainer.logits)(p, x), axis=-1))(state.g_i2l, batch))
-    from cyclegan_tpu.data.palette import decode_colormap
     for i in range(3):
+        # P-mode palette prediction PNGs read back as class indices.
         got = np.asarray(Image.open(os.path.join(out, f"im{i}_pred.png")))
-        np.testing.assert_array_equal(
-            got, decode_colormap(expect[i].astype(np.uint8)))
+        np.testing.assert_array_equal(got, expect[i].astype(np.uint8))
 
     seg = export_lib.export_predictor(
         trainer.predict, state.g_i2l, height=H, width=W, in_channels=IN_CH,
@@ -231,11 +230,9 @@ def test_serve_scales_tiled(setup, tmp_path):
         lambda p, x: tiled_logits(trainer.logits, p, x, (H, W)), scales)
     expect = np.argmax(np.asarray(live(state.g_i2l, jnp.asarray(batch))),
                        axis=-1)
-    from cyclegan_tpu.data.palette import decode_colormap
     for i in range(2):
         got = np.asarray(Image.open(os.path.join(out, f"im{i}_pred.png")))
-        np.testing.assert_array_equal(
-            got, decode_colormap(expect[i].astype(np.uint8)))
+        np.testing.assert_array_equal(got, expect[i].astype(np.uint8))
 
     with pytest.raises(ValueError, match="serve_scales"):
         serve_lib.run_serve(path, str(img_dir), out, scales=scales)
