@@ -126,6 +126,7 @@ def eval_transform(
     *,
     crop_hw: tuple[int, int],
     mode: str = "resize",
+    normalize_img: bool = True,
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Deterministic val-image shaping (fixed shapes for XLA).
 
@@ -137,6 +138,11 @@ def eval_transform(
     - ``"resize"`` (default): squash-resize to exactly (crop_h, crop_w).
     - ``"center_crop"``: aspect-preserving resize of the SHORTER side to the
       crop size, then center crop (torchvision Resize+CenterCrop semantics).
+
+    ``normalize_img=False`` returns the shaped uint8 pixels unscaled — for
+    uint8-input serving artifacts that run :func:`normalize` on-device
+    (export.run_export ``input_dtype="uint8"``); the f32 math is identical
+    either way, only where it runs moves.
     """
     if mode == "center_crop":
         ch, cw = crop_hw
@@ -153,4 +159,4 @@ def eval_transform(
         img, lab = resize_pair(img, lab, crop_hw)
     else:
         raise ValueError(f"unknown eval mode {mode!r} (resize|center_crop)")
-    return normalize(img), lab
+    return (normalize(img) if normalize_img else img), lab

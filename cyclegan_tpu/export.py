@@ -49,6 +49,23 @@ def export_closed(fn, params: Any, spec: jax.ShapeDtypeStruct,
     return jax.export.export(closed, platforms=list(platforms))(spec)
 
 
+def uint8_input(fn):
+    """Wrap an image-fed ``fn(params, x)`` to take raw uint8 pixels and run
+    the ``[-1, 1]`` normalization (transforms.normalize) on-device, so
+    serving hosts ship 1 byte/pixel instead of 4.
+
+    The normalization is a 256-entry constant lookup whose entries are
+    computed by the host ``normalize`` itself — bit-exact with a float32
+    export by construction (a naive on-device ``x/127.5 - 1`` is NOT:
+    XLA's algebraic simplifier rewrites divide-by-constant into multiply,
+    a 1-ulp difference that flips near-tie argmaxes). Asserted byte-exact
+    in tests/test_serve.py / test_http_serve.py."""
+    from cyclegan_tpu.data.transforms import normalize
+
+    lut = jnp.asarray(normalize(np.arange(256, dtype=np.uint8)))
+    return lambda p, x: fn(p, lut[x.astype(jnp.int32)])
+
+
 def export_predictor(predict_fn, params: Any, *, height: int, width: int,
                      in_channels: int, batch: int | str = "b",
                      platforms: Sequence[str] = DEFAULT_PLATFORMS,
@@ -214,7 +231,8 @@ def export_savedmodel(fn, params: Any, spec: jax.ShapeDtypeStruct,
 def run_export(cfg, out_path: str, *, semisupervised: bool = True,
                what: str = "segment", batch: int | str = "b",
                platforms: Sequence[str] = DEFAULT_PLATFORMS,
-               fmt: str = "shlo", quantize: str | None = None) -> str:
+               fmt: str = "shlo", quantize: str | None = None,
+               input_dtype: str = "float32") -> str:
     """CLI entry (``python -m cyclegan_tpu.main --export out.shlo ...``):
     restore the latest checkpoint for ``cfg`` and export the requested head.
 
@@ -232,6 +250,14 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
     scales (~4x smaller artifact), ``bf16`` as bfloat16 (~2x smaller,
     tighter error bound); weight-only either way
     (:func:`quantize_weights`), same serving interface.
+
+    ``input_dtype``: ``"uint8"`` (segment/logits heads) takes raw shaped
+    pixels and runs the ``[-1, 1]`` normalization ON-DEVICE — serving
+    hosts ship 1 byte/pixel instead of 4 (4x less host->device traffic;
+    the bench-host serving bound after the palette-PNG switch). The f32
+    divide is bit-identical wherever it runs, so outputs match a float32
+    artifact exactly. The serve/HTTP paths read the dtype from the
+    artifact signature and skip the host-side normalize automatically.
     """
     from cyclegan_tpu.train.checkpoint import restore_for_inference
 
@@ -239,14 +265,24 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
         cfg, semisupervised=semisupervised)
     h, w = cfg.crop_hw
 
+    if input_dtype not in ("float32", "uint8"):
+        raise ValueError(
+            f"unknown input_dtype {input_dtype!r} (float32|uint8)")
     if what in ("segment", "logits"):
         params = state.g_i2l if semisupervised else state.params
         fn = trainer.predict if what == "segment" else trainer.logits
         item_shape, item_dtype = (h, w, in_ch), jnp.float32
+        if input_dtype == "uint8":
+            fn = uint8_input(fn)
+            item_dtype = jnp.uint8
     elif what == "generate":
         if not semisupervised:
             raise ValueError("--export_what generate needs a semi-supervised "
                              "checkpoint (the l2i generator)")
+        if input_dtype == "uint8":
+            raise ValueError("--export_input uint8 applies to the image-fed "
+                             "segment/logits heads; the generate head "
+                             "already consumes int32 label maps")
         fn, params = trainer.generate_image, state.g_l2i
         item_shape, item_dtype = (h, w), jnp.int32
     else:
@@ -260,6 +296,8 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
         "class_names": list(class_names(cfg.dataset, num_classes)),
         "trained_steps": int(np.asarray(jax.device_get(state.step)).max()),
     }
+    if input_dtype == "uint8":
+        manifest["input_dtype"] = "uint8"
     if quantize:
         params = quantize_weights(params, mode=quantize)  # validates mode
         inner = fn

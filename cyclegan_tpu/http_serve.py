@@ -265,7 +265,8 @@ class _MicroBatcher:
 
 
 def _decode_image(data: bytes, hw: tuple[int, int], in_channels: int,
-                  eval_resize: str) -> np.ndarray:
+                  eval_resize: str, input_dtype: str = "float32"
+                  ) -> np.ndarray:
     from PIL import Image
 
     with Image.open(io.BytesIO(data)) as im:
@@ -273,7 +274,9 @@ def _decode_image(data: bytes, hw: tuple[int, int], in_channels: int,
         arr = np.asarray(im)
     if arr.ndim == 2:
         arr = arr[..., None]
-    img, _ = eval_transform(arr, None, crop_hw=hw, mode=eval_resize)
+    # uint8-input artifacts normalize on-device; ship raw shaped pixels.
+    img, _ = eval_transform(arr, None, crop_hw=hw, mode=eval_resize,
+                            normalize_img=input_dtype != "uint8")
     return img
 
 
@@ -337,6 +340,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "load_hw": list(info["load_hw"]),
                 "in_channels": info["in_channels"],
                 "eval_resize": info["eval_resize"],
+                "input_dtype": info["input_dtype"],
                 "tta": self.server.tta_options,
             })
             return
@@ -371,7 +375,7 @@ class _Handler(BaseHTTPRequestHandler):
         info = self.server.info
         try:
             img = _decode_image(data, info["load_hw"], info["in_channels"],
-                                info["eval_resize"])
+                                info["eval_resize"], info["input_dtype"])
         except Exception as e:  # PIL raises a zoo of decode errors
             self._json(400, {"error": f"could not decode image: {e}"})
             return
@@ -447,7 +451,8 @@ def make_server(artifact_path: str, *, host: str = "127.0.0.1",
 
         h, w = info["load_hw"]
         for b in server.batcher.buckets():
-            dummy = np.zeros((b, h, w, info["in_channels"]), np.float32)
+            dummy = np.zeros((b, h, w, info["in_channels"]),
+                             np.dtype(info["input_dtype"]))
             jax.device_get(predict(dummy))
     return server
 

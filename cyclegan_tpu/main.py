@@ -49,6 +49,12 @@ def get_args(argv=None) -> argparse.Namespace:
                         "int8 = per-channel scales, ~4x smaller; bf16 = "
                         "~2x smaller with a tighter error bound; both "
                         "dequantize on the fly inside the module")
+    p.add_argument("--export_input", choices=["float32", "uint8"],
+                   default="float32",
+                   help="uint8 = artifact takes raw shaped pixels and "
+                        "normalizes on-device (4x less host->device input "
+                        "traffic; segment/logits heads; serve/HTTP hosts "
+                        "detect it from the artifact signature)")
     p.add_argument("--export_format", choices=["shlo", "savedmodel"],
                    default="shlo",
                    help="shlo = self-contained jax.export blob (the --serve "
@@ -227,7 +233,8 @@ def main(argv=None) -> None:
             what=args.export_what, batch=batch,
             platforms=tuple(s.strip() for s in args.export_platforms.split(",")
                             if s.strip()),
-            fmt=args.export_format, quantize=args.export_quantize)
+            fmt=args.export_format, quantize=args.export_quantize,
+            input_dtype=args.export_input)
     elif args.testing:
         runner.run_test(cfg, semisupervised=args.model == "semisupervised")
     elif args.training:

@@ -56,7 +56,7 @@ def _list_images(directory: str) -> list[str]:
 
 
 def _load_image(path: str, hw: tuple[int, int], in_channels: int,
-                eval_resize: str) -> np.ndarray:
+                eval_resize: str, input_dtype: str = "float32") -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
@@ -64,7 +64,9 @@ def _load_image(path: str, hw: tuple[int, int], in_channels: int,
         arr = np.asarray(im)
     if arr.ndim == 2:
         arr = arr[..., None]
-    img, _ = eval_transform(arr, None, crop_hw=hw, mode=eval_resize)
+    # uint8-input artifacts normalize on-device; ship raw shaped pixels.
+    img, _ = eval_transform(arr, None, crop_hw=hw, mode=eval_resize,
+                            normalize_img=input_dtype != "uint8")
     return img
 
 
@@ -131,6 +133,14 @@ def build_predictor(artifact_path: str, *,
     in_shape = exported.in_avals[0].shape  # (b|B, H, W, C), b symbolic
     h, w, c = int(in_shape[1]), int(in_shape[2]), int(in_shape[3])
     num_classes = int(manifest.get("num_classes", 21))
+    # The artifact signature is the source of truth for the input dtype
+    # (uint8-input artifacts normalize on-device — export.run_export).
+    input_dtype = np.dtype(exported.in_avals[0].dtype).name
+    if scales and input_dtype == "uint8":
+        raise ValueError(
+            "--serve_scales resamples the input canvas in float; "
+            "multi-scale TTA needs a float32-input artifact "
+            "(this one takes uint8)")
 
     call = jax.jit(exported.call)
     if flip and head != "logits":
@@ -206,7 +216,7 @@ def build_predictor(artifact_path: str, *,
 
     info = {"load_hw": load_hw, "window_hw": (h, w), "in_channels": c,
             "num_classes": num_classes, "head": head, "manifest": manifest,
-            "eval_resize": eval_resize}
+            "eval_resize": eval_resize, "input_dtype": input_dtype}
     return predict_batch, info
 
 
@@ -252,6 +262,7 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
         data_parallel=data_parallel, flip=flip, scales=scales)
     load_hw, c = info["load_hw"], info["in_channels"]
     num_classes = info["num_classes"]
+    in_dtype = info["input_dtype"]
 
     names = _list_images(input_dir)
     os.makedirs(output_dir, exist_ok=True)
@@ -282,7 +293,8 @@ def run_serve(artifact_path: str, input_dir: str, output_dir: str, *,
     pipe = InferencePipeline(_consume)
     for chunk in _chunks(names, max(batch_size, 1)):
         batch = np.stack([
-            _load_image(os.path.join(input_dir, n), load_hw, c, eval_resize)
+            _load_image(os.path.join(input_dir, n), load_hw, c, eval_resize,
+                        in_dtype)
             for n in chunk])
         pipe.put(chunk, predict_batch(batch))
     pipe.flush()

@@ -149,6 +149,24 @@ def test_cli_export_segment_and_generate(tmp_path):
     assert lg.shape == (2, H, W, NUM_CLASSES)
     np.testing.assert_array_equal(np.argmax(lg, axis=-1), pred)
 
+    u8_path = str(tmp_path / "seg_u8.shlo")
+    cli_main(["--export", u8_path, "--export_input", "uint8"] + base)
+    u8 = export_lib.load_artifact(u8_path)
+    assert np.dtype(u8.in_avals[0].dtype) == np.uint8
+    pix = np.random.default_rng(1).integers(
+        0, 256, (2, H, W, IN_CH)).astype(np.uint8)
+    # On-device normalization must be bit-identical to the host's f32 math.
+    np.testing.assert_array_equal(
+        np.asarray(u8.call(pix)),
+        np.asarray(seg.call(pix.astype(np.float32) / 127.5 - 1.0)))
+    assert json.loads((tmp_path / "seg_u8.shlo.json").read_text())[
+        "input_dtype"] == "uint8"
+
+    with pytest.raises(ValueError, match="uint8"):
+        cli_main(["--export", str(tmp_path / "bad.shlo"),
+                  "--export_what", "generate", "--export_input", "uint8",
+                  "--export_batch", "2"] + base)
+
     gen_path = str(tmp_path / "gen.shlo")
     cli_main(["--export", gen_path, "--export_what", "generate",
               "--export_batch", "2"] + base)

@@ -100,6 +100,37 @@ def test_healthz_and_info(server):
                            "data_parallel": False, "max_batch": 8}
 
 
+def test_uint8_artifact_endpoint_matches_float(server, setup, tmp_path):
+    """A uint8-input artifact served over HTTP returns byte-identical
+    /predict responses to the float32 server (normalize moved on-device)."""
+    url_f32, _ = server
+    _, _, trainer, state = setup
+    u8 = export_lib.export_predictor(
+        export_lib.uint8_input(trainer.predict), state.g_i2l,
+        height=H, width=W, in_channels=IN_CH, platforms=("cpu",),
+        dtype=jnp.uint8)
+    u8_path = str(tmp_path / "segment_u8.shlo")
+    export_lib.save_artifact(u8_path, u8, manifest={
+        "head": "segment", "num_classes": NUM_CLASSES,
+        "class_names": [f"name_{i}" for i in range(NUM_CLASSES)],
+        "input_dtype": "uint8"})
+    srv = http_serve.make_server(u8_path, port=0)
+    url_u8, _ = _start(srv)
+    try:
+        with urllib.request.urlopen(url_u8 + "/info", timeout=30) as r:
+            assert json.load(r)["input_dtype"] == "uint8"
+        body = _png_bytes(np.random.default_rng(3).integers(
+            0, 256, (30, 40, 3), np.uint8))
+        for fmt in ("png", "mask", "json"):
+            s1, _, b1 = _post(url_f32 + f"/predict?format={fmt}", body)
+            s2, _, b2 = _post(url_u8 + f"/predict?format={fmt}", body)
+            assert s1 == s2 == 200
+            assert b1 == b2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_predict_matches_live(server, setup):
     """The endpoint's png/mask/json answers == the live predictor's, on an
     off-size source image (exercises the eval transform)."""

@@ -106,6 +106,45 @@ def test_serve_pipeline_depth_invariant(artifact, image_dir, tmp_path,
         np.testing.assert_array_equal(outs["0"][n], outs["7"][n])
 
 
+@pytest.fixture(scope="module")
+def uint8_artifact(artifact, tmp_path_factory):
+    """Same weights exported with a uint8 input signature (normalization
+    on-device — export.uint8_input)."""
+    _, trainer, state = artifact
+    exported = export_lib.export_predictor(
+        export_lib.uint8_input(trainer.predict), state.g_i2l,
+        height=H, width=W, in_channels=IN_CH, platforms=("cpu",),
+        dtype=jnp.uint8)
+    path = str(tmp_path_factory.mktemp("serve_u8") / "model_u8.shlo")
+    export_lib.save_artifact(path, exported, manifest={
+        "head": "segment", "num_classes": NUM_CLASSES,
+        "input_dtype": "uint8"})
+    return path
+
+
+def test_uint8_artifact_serving_matches_float(artifact, uint8_artifact,
+                                              image_dir, tmp_path):
+    """A uint8-input artifact (host ships raw pixels, device normalizes)
+    must write byte-identical prediction PNGs to the float32 artifact."""
+    f32_path, _, _ = artifact
+    out_f32 = str(tmp_path / "f32")
+    out_u8 = str(tmp_path / "u8")
+    serve_lib.run_serve(f32_path, image_dir, out_f32, batch_size=2)
+    res = serve_lib.run_serve(uint8_artifact, image_dir, out_u8,
+                              batch_size=2)
+    assert res["images"] == N_IMAGES
+    for i in range(N_IMAGES):
+        name = f"img_{i:02d}_pred.png"
+        a = (tmp_path / "f32" / name).read_bytes()
+        b = (tmp_path / "u8" / name).read_bytes()
+        assert a == b
+
+
+def test_uint8_artifact_rejects_multiscale(uint8_artifact):
+    with pytest.raises(ValueError, match="uint8"):
+        serve_lib.build_predictor(uint8_artifact, scales=(0.75, 1.0))
+
+
 def test_serve_scores_against_masks(artifact, image_dir, tmp_path, capsys):
     path, trainer, state = artifact
     gt = tmp_path / "gt"
