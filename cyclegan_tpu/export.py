@@ -66,6 +66,14 @@ def uint8_input(fn):
     return lambda p, x: fn(p, lut[x.astype(jnp.int32)])
 
 
+def uint8_output(fn):
+    """Cast an ``fn(params, x) -> int class map`` to uint8 on-device. Class
+    maps carry values < num_classes <= 255, so the cast is lossless; the
+    serving host fetches 1 byte/pixel instead of int32's 4 (every consumer
+    in serve/http_serve already re-casts to uint8 for PNG/palette work)."""
+    return lambda p, x: fn(p, x).astype(jnp.uint8)
+
+
 def export_predictor(predict_fn, params: Any, *, height: int, width: int,
                      in_channels: int, batch: int | str = "b",
                      platforms: Sequence[str] = DEFAULT_PLATFORMS,
@@ -272,6 +280,8 @@ def run_export(cfg, out_path: str, *, semisupervised: bool = True,
         params = state.g_i2l if semisupervised else state.params
         fn = trainer.predict if what == "segment" else trainer.logits
         item_shape, item_dtype = (h, w, in_ch), jnp.float32
+        if what == "segment" and num_classes <= 255:
+            fn = uint8_output(fn)  # 1-byte class maps off the device
         if input_dtype == "uint8":
             fn = uint8_input(fn)
             item_dtype = jnp.uint8

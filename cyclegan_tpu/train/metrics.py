@@ -15,8 +15,10 @@ def confusion_matrix(
     pred: jax.Array, label: jax.Array, num_classes: int, *, ignore_index: int | None = 255
 ) -> jax.Array:
     """(num_classes, num_classes) histogram; rows = ground truth, cols = pred."""
-    pred = pred.reshape(-1)
-    label = label.reshape(-1)
+    # uint8 inputs (e.g. uint8-output serving artifacts) would overflow the
+    # label*num_classes+pred flattening below; index math runs in int32.
+    pred = pred.reshape(-1).astype(jnp.int32)
+    label = label.reshape(-1).astype(jnp.int32)
     if ignore_index is not None:
         valid = (label != ignore_index) & (label < num_classes)
     else:

@@ -136,6 +136,8 @@ def test_cli_export_segment_and_generate(tmp_path):
     seg = export_lib.load_artifact(seg_path)
     pred = np.asarray(seg.call(_image(2)))
     assert pred.shape == (2, H, W) and pred.max() < NUM_CLASSES
+    # Segment artifacts ship 1-byte class maps (export.uint8_output).
+    assert pred.dtype == np.uint8
     manifest = json.loads((tmp_path / "seg.shlo.json").read_text())
     assert manifest["num_classes"] == NUM_CLASSES
     assert manifest["trained_steps"] == 0

@@ -25,6 +25,18 @@ class TestConfusionMatrix:
             jnp.asarray(pred), jnp.asarray(label), 5))
         np.testing.assert_array_equal(got, ref)
 
+    def test_uint8_inputs_do_not_overflow(self):
+        """uint8 preds/labels (uint8-output serving artifacts, palette-PNG
+        mask reads) must histogram identically to int32 — the flattening
+        label*n+pred exceeds 255 and must not wrap."""
+        rng = np.random.default_rng(3)
+        pred = rng.integers(0, 21, (2, 16, 16)).astype(np.uint8)
+        label = rng.integers(0, 21, (2, 16, 16)).astype(np.uint8)
+        label[0, :2] = 255
+        got = np.asarray(metrics.confusion_matrix(
+            jnp.asarray(pred), jnp.asarray(label), 21))
+        np.testing.assert_array_equal(got, _np_hist(pred, label, 21))
+
     def test_perfect_prediction(self):
         label = np.random.default_rng(1).integers(0, 4, (8, 8))
         hist = metrics.confusion_matrix(jnp.asarray(label), jnp.asarray(label), 4)
