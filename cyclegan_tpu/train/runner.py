@@ -178,11 +178,19 @@ def _make_eval_fns(cfg: Config, trainer):
     if scales:
         canvas_logits = tta.scale_avg(canvas_logits or trainer.logits,
                                       scales)
+    # Class maps fit uint8 (num_classes <= 255): fetching 1 byte/pixel
+    # instead of int32's 4 speeds the run_test/sample-dump device->host
+    # leg the same way uint8-output serving artifacts do (export.py).
+    def _u8(f):
+        if trainer.num_classes > 255:
+            return f
+        return lambda params, image: f(params, image).astype(jnp.uint8)
+
     if canvas_logits is None:
         # Plain single-forward eval: the trainers' own step (bit-identical
         # to every pre-TTA golden/parity artifact).
         eval_fn = jax.jit(trainer.eval_step)
-        predict = jax.jit(trainer.predict)
+        predict = jax.jit(_u8(trainer.predict))
     else:
         def _eval(params, batch):
             pred = jnp.argmax(canvas_logits(params, batch["image"]), axis=-1)
@@ -191,8 +199,8 @@ def _make_eval_fns(cfg: Config, trainer):
                 ignore_index=trainer.ignore_index)
 
         eval_fn = jax.jit(_eval)
-        predict = jax.jit(lambda params, image: jnp.argmax(
-            canvas_logits(params, image), axis=-1))
+        predict = jax.jit(_u8(lambda params, image: jnp.argmax(
+            canvas_logits(params, image), axis=-1)))
     return _aligned_jit(eval_fn, "eval_exec"), predict
 
 

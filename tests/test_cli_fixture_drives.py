@@ -126,8 +126,10 @@ def test_voc_cli_train_resume_test(tmp_path, capsys):
     assert "test scores" in out and "miou" in out
     preds = list((tmp_path / "res").glob("pred_*.png"))
     assert len(preds) == 2  # one per val image, padding rows skipped
-    # colorized with the VOC palette -> RGB
-    assert np.asarray(Image.open(preds[0])).shape[-1] == 3
+    # P-mode palette PNG: indices inside, VOC colors when rendered
+    with Image.open(preds[0]) as im:
+        assert im.mode == "P"
+        assert np.asarray(im.convert("RGB")).shape[-1] == 3
 
 
 def test_cityscapes_cli_train_test(tmp_path, capsys):
