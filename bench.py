@@ -313,7 +313,8 @@ def _reexec_with_backoff(attempt: int, wait_s: int = 60) -> None:
     import sys
 
     argv = [a for i, a in enumerate(sys.argv[1:])
-            if a != "--_attempt" and (i == 0 or sys.argv[1:][i - 1] != "--_attempt")]
+            if a != "--_attempt" and not a.startswith("--_attempt=")
+            and (i == 0 or sys.argv[1:][i - 1] != "--_attempt")]
     time.sleep(wait_s)
     os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)]
              + argv + ["--_attempt", str(attempt + 1)])

@@ -50,7 +50,25 @@ def maybe_initialize(cfg) -> bool:
         # runtime metadata; opt in explicitly since a failed auto-detect
         # hangs single-host runs.
         jax.distributed.initialize()
+    # Safe to touch the backend now — and required: main() DEFERS the
+    # ISA-fingerprinted CPU compile-cache pin to here when a distributed
+    # launch is pending (pinning earlier would initialize XLA before
+    # initialize(), which then always raises — round-4 advisor, high).
+    from cyclegan_tpu.utils.cpuflags import maybe_pin_cpu_compile_cache
+
+    maybe_pin_cpu_compile_cache()
     return jax.process_count() > 1
+
+
+def distributed_launch_pending(cfg, environ) -> bool:
+    """Will :func:`maybe_initialize` call ``jax.distributed.initialize``?
+
+    Entry points must not touch the XLA backend (``jax.default_backend()``,
+    ``jax.devices()`` ...) before that happens; they use this pure-config
+    probe to decide whether backend-touching setup must be deferred.
+    """
+    return bool(getattr(cfg, "coordinator_address", None)) \
+        or environ.get("CYCLEGAN_TPU_DISTRIBUTED") == "1"
 
 
 def _initialized() -> bool:

@@ -76,3 +76,25 @@ print("PROBE_OK", flush=True)
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, f"subprocess failed:\n{r.stdout}\n{r.stderr}"
     assert "PROBE_OK" in r.stdout
+
+
+def test_main_cli_distributed_launch(tmp_path):
+    """The REAL main() path with --coordinator_address (round-4 advisor,
+    high): main()'s compile-cache pin used to call jax.default_backend()
+    before runner reached distributed.maybe_initialize, so every
+    multi-process CLI run raised 'must be called before any JAX calls'.
+    main() now defers the pin via distributed_launch_pending."""
+    coord = f"localhost:{_free_port()}"
+    r = subprocess.run(
+        [sys.executable, "-m", "cyclegan_tpu.main", "--training",
+         "--dataset", "synthetic", "--model", "supervised",
+         "--max_steps", "1", "--platform", "cpu", "--no_bf16",
+         "--dataset_size", "2", "--batch_size", "1", "--epochs", "1",
+         "--crop_height", "32", "--crop_width", "32", "--ngf", "4",
+         "--coordinator_address", coord, "--num_processes", "1",
+         "--process_id", "0",
+         "--checkpoint_dir", str(tmp_path / "ckpt"),
+         "--results_dir", str(tmp_path / "res")],
+        capture_output=True, text=True, timeout=600, cwd=str(ROOT))
+    assert r.returncode == 0, f"main() distributed launch failed:\n{r.stdout}\n{r.stderr}"
+    assert "must be called before any JAX calls" not in r.stderr

@@ -249,7 +249,10 @@ def test_micro_batcher_coalesces_deterministically():
 
 def test_micro_batcher_error_propagates_to_all_waiters():
     """A device-call failure must fail every coalesced request (not hang
-    followers waiting on their event)."""
+    followers waiting on their event) — and each waiter must raise its OWN
+    exception object chained to the shared cause (concurrent raises of one
+    shared object mutate its __traceback__ across threads; round-4
+    advisor)."""
     def bad_predict(batch):
         raise RuntimeError("device exploded")
 
@@ -261,14 +264,73 @@ def test_micro_batcher_error_propagates_to_all_waiters():
         try:
             mb.predict_one(np.zeros((2, 2, 1), np.float32))
         except RuntimeError as e:
-            errs[i] = str(e)
+            errs[i] = e
 
     ts = [threading.Thread(target=call, args=(i,)) for i in range(2)]
     for t in ts:
         t.start()
     for t in ts:
         t.join(timeout=30)
-    assert errs[0] == "device exploded" and errs[1] == "device exploded"
+    for e in errs:
+        assert isinstance(e, RuntimeError)
+        assert "device exploded" in str(e)
+        assert isinstance(e.__cause__, RuntimeError)
+        assert str(e.__cause__) == "device exploded"
+    # (The causes may or may not be one object depending on whether the two
+    # requests coalesced into one round; the wrappers must never be shared.)
+    assert errs[0] is not errs[1], "waiters must not share one exception"
+
+
+def test_micro_batcher_overload_handoff_is_immediate():
+    """VERDICT round-4 weak #4: a request whose slot overflows a full round
+    (queue > max_batch) must take leadership the instant the in-flight round
+    completes — condition-variable handoff, not a 50 ms poll quantum.
+
+    12 concurrent requests through max_batch=1 force 12 sequential rounds
+    with 11 leadership handoffs. The old wait(0.05) loop averaged ~25 ms per
+    handoff (~0.3 s total floor); condition handoff finishes in the device
+    time (~24 ms) plus scheduler noise."""
+    import time
+
+    def fake_predict(batch):
+        time.sleep(0.002)
+        return batch[:, :, :, 0]
+
+    mb = http_serve._MicroBatcher(fake_predict, max_batch=1,
+                                  metrics=http_serve._Metrics())
+    n = 12
+    imgs = [np.full((2, 2, 1), float(i), np.float32) for i in range(n)]
+    results = [None] * n
+    ts = [threading.Thread(target=lambda i=i: results.__setitem__(
+        i, mb.predict_one(imgs[i]))) for i in range(n)]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    elapsed = time.perf_counter() - t0
+    for i in range(n):
+        np.testing.assert_array_equal(results[i],
+                                      np.full((2, 2), i, np.uint8))
+    # Generous vs scheduler noise, far below the polling floor (~0.3 s):
+    # 12 rounds x 2 ms device + handoffs must fit well under one quantum
+    # per handoff.
+    assert elapsed < 0.25, f"handoff latency regressed: {elapsed:.3f}s"
+
+
+def test_http_server_rejects_gt255_classes(monkeypatch):
+    """Every HTTP output path is 8-bit; an artifact with >255 classes must
+    be refused at make_server time, not silently index-wrapped (round-4
+    advisor)."""
+    def fake_build_predictor(path, **kw):
+        return (lambda b: b[:, :, :, 0]), {
+            "num_classes": 300, "load_hw": (8, 8), "window_hw": (8, 8),
+            "in_channels": 3, "eval_resize": "resize", "head": "segment",
+            "input_dtype": "float32", "manifest": {}}
+
+    monkeypatch.setattr(http_serve, "build_predictor", fake_build_predictor)
+    with pytest.raises(ValueError, match="255"):
+        http_serve.make_server("fake.shlo", port=0, warmup=False)
 
 
 def test_concurrent_requests_with_micro_batching(setup):
