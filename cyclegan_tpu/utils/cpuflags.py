@@ -75,6 +75,136 @@ def pin_cpu_compile_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", base + suffix)
 
 
+# LLVM x86 TUNING pseudo-features: they steer instruction selection (e.g.
+# avoid gather/scatter on DOWNFALL-mitigated parts) but name no instruction
+# the host could trap on — an executable compiled WITH them runs anywhere
+# the real ISA features match. This jaxlib (0.9.0) embeds them in the AOT
+# result's target string while the loader's host detection never reports
+# them, so EVERY same-host CPU cache hit logs the cpu_aot_loader "could
+# lead to execution errors such as SIGILL" E-line (verified 2026-08-19:
+# fresh cache dir, compile + reload on ONE machine warns; the fingerprint
+# had not admitted a foreign entry). The filter below suppresses a mismatch
+# line only after PROVING the missing set is tuning-only.
+_TUNING_FEATURE_PREFIXES = ("prefer-",)
+
+_MISMATCH_RE = None  # compiled lazily (module import stays re-free)
+
+
+def classify_aot_mismatch(line: str) -> str | None:
+    """Classify one stderr line from XLA's cpu_aot_loader.
+
+    Returns ``None`` for lines that are not feature-mismatch warnings,
+    ``"benign"`` when every compile-required feature missing from the host
+    is a tuning pseudo-feature (cannot SIGILL), and ``"real"`` when a real
+    ISA feature is missing — or when the line claims a mismatch but cannot
+    be parsed (fail safe: an unparseable claim is treated as real).
+    """
+    global _MISMATCH_RE
+    if "Machine type used for XLA:CPU compilation doesn't match" not in line:
+        return None
+    import re
+
+    if _MISMATCH_RE is None:
+        _MISMATCH_RE = re.compile(
+            r"Compile machine features: \[([^\]]*)\] vs host machine "
+            r"features: \[([^\]]*)\]")
+    m = _MISMATCH_RE.search(line)
+    if not m:
+        return "real"
+    required = {t.strip()[1:] for t in m.group(1).split(",")
+                if t.strip().startswith("+")}
+    host = {t.strip().lstrip("+") for t in m.group(2).split(",") if t.strip()}
+    missing = required - host
+    if missing and all(f.startswith(_TUNING_FEATURE_PREFIXES)
+                       for f in missing):
+        return "benign"
+    return "real"
+
+
+class AotWarningFilter:
+    """fd-level stderr filter for the spurious same-host AOT warnings.
+
+    XLA logs the mismatch from C++ (absl LOG(ERROR) straight to fd 2), so a
+    Python-level redirect can't see it. This context manager pipes fd 2
+    through a pump thread that: drops lines :func:`classify_aot_mismatch`
+    PROVES benign (counted, one summary line at exit); passes every other
+    byte through untouched; and on a REAL mismatch additionally EVICTS the
+    pinned CPU compile-cache dir so the next run recompiles clean instead
+    of loading a foreign-ISA executable again (VERDICT round-4 weak #2 /
+    next-round item 3). ``real_mismatches`` holds the surfaced lines for
+    the caller to act on (the dry-run raises).
+    """
+
+    def __init__(self, evict_dir: str | None = None) -> None:
+        self.evict_dir = evict_dir
+        self.benign_count = 0
+        self.real_mismatches: list[str] = []
+        self._evicted = False
+
+    def __enter__(self) -> "AotWarningFilter":
+        import sys
+        import threading
+
+        sys.stderr.flush()
+        self._saved = os.dup(2)
+        r, w = os.pipe()
+        os.dup2(w, 2)
+        os.close(w)
+        self._r = r
+        self._thread = threading.Thread(target=self._pump, daemon=True)
+        self._thread.start()
+        return self
+
+    def _pump(self) -> None:
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(self._r, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            for ln in lines:
+                self._handle(ln + b"\n")
+        if buf:
+            self._handle(buf)
+        os.close(self._r)
+
+    def _handle(self, raw: bytes) -> None:
+        verdict = classify_aot_mismatch(raw.decode("utf-8", "replace"))
+        if verdict == "benign":
+            self.benign_count += 1
+            return
+        if verdict == "real":
+            self.real_mismatches.append(raw.decode("utf-8", "replace"))
+            if self.evict_dir and not self._evicted:
+                self._evicted = True
+                import shutil
+
+                shutil.rmtree(self.evict_dir, ignore_errors=True)
+                os.makedirs(self.evict_dir, exist_ok=True)
+                os.write(self._saved,
+                         (f"[cpuflags] REAL ISA mismatch in cached XLA:CPU "
+                          f"executable — evicted {self.evict_dir}\n").encode())
+        os.write(self._saved, raw)
+
+    def __exit__(self, *exc) -> None:
+        import sys
+
+        sys.stderr.flush()
+        os.dup2(self._saved, 2)   # drops the pipe's last writer -> pump EOF
+        self._thread.join(timeout=10)
+        if self.benign_count:
+            os.write(self._saved,
+                     (f"[cpuflags] suppressed {self.benign_count} verified-"
+                      f"benign XLA:CPU AOT tuning-feature warnings "
+                      f"(prefer-no-gather/scatter; same-host cache hits)\n"
+                      ).encode())
+        os.close(self._saved)
+
+
 def maybe_pin_cpu_compile_cache() -> None:
     """Pin the compile cache iff the RESOLVED backend is CPU.
 
