@@ -85,7 +85,7 @@ def make_cyclegan_pair(*, n_classes=5, size=32, ngf=8, ndf=None, n_blocks=2,
                        channels=3, gen_net="resnet", dis_net="patch",
                        norm="instance", num_downs=None, pool_size=0,
                        batch_size=1, epochs=10_000, decay_epoch=5_000,
-                       steps_per_epoch=1, lamda=10.0, seed=0):
+                       steps_per_epoch=1, lamda=10.0, seed=0, bf16=False):
     """Identically-initialized cross-framework semi-sup CycleGAN pair.
 
     Returns ``(tmodels, t_opts, trainer, state)``: torch nets in the order
@@ -134,7 +134,7 @@ def make_cyclegan_pair(*, n_classes=5, size=32, ngf=8, ndf=None, n_blocks=2,
     cfg = Config(gen_net="resnet_6blocks" if gen_net == "resnet"
                  else "unet_128",
                  dis_net="n_layers" if dis_net == "patch" else "pixel",
-                 norm=norm, ngf=ngf, ndf=ndf, bf16=False,
+                 norm=norm, ngf=ngf, ndf=ndf, bf16=bf16,
                  crop_height=size, crop_width=size, batch_size=batch_size,
                  pool_size=pool_size, epochs=epochs,
                  decay_epoch=decay_epoch, lamda=lamda)

@@ -62,6 +62,11 @@ def main() -> None:
                     help="batch exercises the BN running-stat threading "
                          "end-to-end (resnet+patch only — the oracle's "
                          "UnetG/PixelD hard-code InstanceNorm)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the JAX side with bf16 COMPUTE (the shipping "
+                         "TPU default, Config.bf16) against the same f32 "
+                         "torch oracle — certifies the production numerics "
+                         "at trajectory scale (VERDICT r4 item 1)")
     args = ap.parse_args()
     if args.norm == "batch" and (args.gen_net != "resnet"
                                  or args.dis_net != "patch"):
@@ -71,7 +76,7 @@ def main() -> None:
     tmodels, t_opts, trainer, state = make_cyclegan_pair(
         n_classes=N, size=S, ngf=args.ngf, n_blocks=NB, channels=C,
         gen_net=args.gen_net, dis_net=args.dis_net, norm=args.norm,
-        pool_size=args.pool, batch_size=1)
+        pool_size=args.pool, batch_size=1, bf16=args.bf16)
     (lab_img, lab_lab, unlab_img, lab_oh), batch = make_fixed_batch(
         N, S, batch=1, channels=C)
 
@@ -147,6 +152,7 @@ def main() -> None:
         "dis_net": args.dis_net,
         "norm": args.norm,
         "channels": C,
+        "bf16": bool(args.bf16),
         "final_jax_g": round(float(j[-1]), 4),
         "final_torch_g": round(float(t[-1]), 4),
         "max_rel_divergence": round(float(rel.max()), 5),

@@ -59,6 +59,11 @@ def main() -> None:
                          "instead of the supervised CE protocol")
     ap.add_argument("--pool", type=int, default=8,
                     help="pool size for --semisup")
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the JAX side with bf16 COMPUTE (the shipping "
+                         "TPU default, Config.bf16) against the same f32 "
+                         "torch oracle — certifies the production numerics "
+                         "at protocol scale (VERDICT r4 item 1)")
     args = ap.parse_args()
 
     if args.semisup:
@@ -86,7 +91,7 @@ def main() -> None:
     # ---- identical init
     torch.manual_seed(0)
     tmodel = ResnetG(3, args.classes, args.ngf, args.n_blocks, tanh=False)
-    cfg = Config(gen_net="resnet_6blocks", ngf=args.ngf, bf16=False,
+    cfg = Config(gen_net="resnet_6blocks", ngf=args.ngf, bf16=args.bf16,
                  crop_height=args.size, crop_width=args.size,
                  batch_size=args.batch, epochs=10_000, decay_epoch=5_000)
     trainer = SupervisedTrainer(cfg, args.classes, 3, steps_per_epoch=1)
@@ -139,7 +144,7 @@ def main() -> None:
         "jax_miou": round(j_miou, 4), "torch_miou": round(t_miou, 4),
         "delta": round(j_miou - t_miou, 4),
         "jax_pixel_acc": round(j_pa, 4), "torch_pixel_acc": round(t_pa, 4),
-        "steps": args.steps, "size": args.size,
+        "steps": args.steps, "size": args.size, "bf16": bool(args.bf16),
     }))
 
 
@@ -182,7 +187,7 @@ def run_semisup(args) -> None:
     # ---- identical init (single copy of the pair protocol: parity_utils)
     tmodels, t_opts, trainer, state = make_cyclegan_pair(
         n_classes=N, size=S, ngf=args.ngf, n_blocks=NB,
-        pool_size=args.pool, batch_size=B)
+        pool_size=args.pool, batch_size=B, bf16=args.bf16)
 
     # ---- one injected decision stream for both frameworks' pools
     use_new, swap_idx = make_pool_decisions(args.steps, B, args.pool)
@@ -242,6 +247,7 @@ def run_semisup(args) -> None:
         "delta": round(j_miou - t_miou, 4),
         "jax_pixel_acc": round(j_pa, 4), "torch_pixel_acc": round(t_pa, 4),
         "steps": args.steps, "size": args.size, "pool": args.pool,
+        "bf16": bool(args.bf16),
     }))
 
 
