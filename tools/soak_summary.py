@@ -1,6 +1,13 @@
 """Summarize a training run's metrics JSONL for the soak protocol
-(VERDICT r4 item 2): sustained steps/s, loss finiteness/health, and the
-checkpoint/resume inventory, as one JSON line for BASELINE.md.
+(VERDICT r4 item 2): sustained steps/s, stall inventory, loss health, and
+the checkpoint/resume evidence, as one JSON line for BASELINE.md.
+
+The runner's logged ``steps_per_sec`` is the EPOCH-CUMULATIVE average —
+one compile or checkpoint stall dilutes every later reading of the epoch.
+Sustained throughput here is computed from consecutive rows' wall-clock
+``t`` deltas instead (rate = Δstep / Δt per log interval), with the
+slowest intervals reported separately as stalls (compile, mid-epoch
+device_get+Orbax commits).
 
 Run: python tools/soak_summary.py RESULTS_DIR [CKPT_DIR]
 """
@@ -13,7 +20,8 @@ import os
 import sys
 
 
-def summarize(results_dir: str, ckpt_dir: str | None = None) -> dict:
+def summarize(results_dir: str, ckpt_dir: str | None = None,
+              stall_threshold_s: float = 10.0) -> dict:
     path = os.path.join(results_dir, "train_metrics.jsonl")
     rows = [json.loads(ln) for ln in open(path) if ln.strip()]
     if not rows:
@@ -21,33 +29,40 @@ def summarize(results_dir: str, ckpt_dir: str | None = None) -> dict:
     losses = {}
     bad = 0
     for r in rows:
-        for k, v in r.get("metrics", r).items():
+        for k, v in r.items():
+            if k in ("t", "step", "epoch", "steps_per_sec"):
+                continue
             if isinstance(v, (int, float)):
                 if not math.isfinite(v):
                     bad += 1
                 losses.setdefault(k, []).append(v)
-    sps = [r["steps_per_sec"] for r in rows
-           if isinstance(r.get("steps_per_sec"), (int, float))]
-    # Drop each epoch's first log interval (epoch timer restarts include
-    # validation/checkpoint stalls and the compile on interval 1).
-    seen_epochs, sustained = set(), []
-    for r in rows:
-        e = r.get("epoch")
-        if isinstance(r.get("steps_per_sec"), (int, float)):
-            if e in seen_epochs:
-                sustained.append(r["steps_per_sec"])
-            seen_epochs.add(e)
-    use = sustained or sps
+    # Instantaneous per-interval rates from wall-clock deltas. `t` resets
+    # when a run restarts (resume), so negative deltas split the phases.
+    inst, stalls = [], []
+    for a, b in zip(rows, rows[1:]):
+        dt = b["t"] - a["t"]
+        dstep = b["step"] - a["step"]
+        if dt <= 0 or dstep <= 0:
+            continue  # phase boundary (resume) or non-monotonic step reset
+        if dt >= stall_threshold_s:
+            stalls.append({"epoch": b.get("epoch"), "step": b.get("step"),
+                           "seconds": round(dt, 1)})
+        else:
+            inst.append(dstep / dt)
     out = {
         "rows": len(rows),
-        "final_step": rows[-1].get("step"),
         "epochs_seen": sorted({r.get("epoch") for r in rows}),
         "nonfinite_values": bad,
-        "steps_per_sec": {
-            "min": round(min(use), 2), "max": round(max(use), 2),
-            "mean": round(sum(use) / len(use), 2),
-            "last": round(use[-1], 2), "n": len(use)},
+        "stalls_over_threshold": stalls,
     }
+    if inst:
+        inst_sorted = sorted(inst)
+        out["sustained_steps_per_sec"] = {
+            "min": round(inst_sorted[0], 2),
+            "p50": round(inst_sorted[len(inst) // 2], 2),
+            "p90": round(inst_sorted[int(len(inst) * 0.9)], 2),
+            "max": round(inst_sorted[-1], 2),
+            "n_intervals": len(inst)}
     for k in ("g_total", "d_total", "g_sup"):
         if k in losses:
             v = losses[k]
