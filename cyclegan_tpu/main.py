@@ -181,16 +181,21 @@ def main(argv=None) -> None:
     # Pinning keys off the RESOLVED backend (not just --platform cpu) so a
     # run that silently falls back to CPU — tunnel down, plain CPU box —
     # is covered too (cpuflags.maybe_pin_cpu_compile_cache docstring).
-    # When a multi-process launch is configured, the pin MUST wait: touching
-    # jax.default_backend() here initializes XLA before
-    # jax.distributed.initialize(), which then always raises (round-4 advisor,
-    # high). distributed.maybe_initialize pins right after init instead.
+    # When a multi-process TRAINING launch is configured, the pin MUST wait:
+    # touching jax.default_backend() here initializes XLA before
+    # jax.distributed.initialize(), which then always raises (round-4
+    # advisor, high). distributed.maybe_initialize pins right after init
+    # instead. Only the training paths ever call maybe_initialize, so
+    # every other dispatch (--testing/--export/--serve) still pins here —
+    # deferring for those would skip the pin entirely and reopen the
+    # cross-VM SIGILL hazard (round-5 review).
     import os
 
     from cyclegan_tpu.parallel.distributed import distributed_launch_pending
     from cyclegan_tpu.utils.cpuflags import maybe_pin_cpu_compile_cache
 
-    if not distributed_launch_pending(cfg, os.environ):
+    if not (args.training and not (args.serve or args.export or args.testing)
+            and distributed_launch_pending(cfg, os.environ)):
         maybe_pin_cpu_compile_cache()
     from cyclegan_tpu.train import runner  # deferred: jax init is slow
 

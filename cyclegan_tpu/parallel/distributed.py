@@ -38,18 +38,21 @@ def maybe_initialize(cfg) -> bool:
     # — those initialize the XLA backend, after which initialize() raises
     # ("must be called before any JAX calls ..."). Gate ONLY on
     # _initialized() (a pure client-state probe, no backend touch).
-    if getattr(cfg, "coordinator_address", None):
-        if not _initialized():
+    # The trigger condition IS distributed_launch_pending — main() uses the
+    # same predicate to decide whether to defer its cache pin to here, and
+    # the two must never drift.
+    if distributed_launch_pending(cfg, os.environ) and not _initialized():
+        if getattr(cfg, "coordinator_address", None):
             jax.distributed.initialize(
                 coordinator_address=cfg.coordinator_address,
                 num_processes=cfg.num_processes,
                 process_id=cfg.process_id,
             )
-    elif os.environ.get("CYCLEGAN_TPU_DISTRIBUTED") == "1" and not _initialized():
-        # Cloud TPU pod slices auto-detect coordinator/process info from the
-        # runtime metadata; opt in explicitly since a failed auto-detect
-        # hangs single-host runs.
-        jax.distributed.initialize()
+        else:
+            # CYCLEGAN_TPU_DISTRIBUTED=1: Cloud TPU pod slices auto-detect
+            # coordinator/process info from the runtime metadata; opt in
+            # explicitly since a failed auto-detect hangs single-host runs.
+            jax.distributed.initialize()
     # Safe to touch the backend now — and required: main() DEFERS the
     # ISA-fingerprinted CPU compile-cache pin to here when a distributed
     # launch is pending (pinning earlier would initialize XLA before

@@ -307,7 +307,19 @@ def _restore_mid(mid_ckpt: CheckpointManager, full: dict, spc: int):
                 f"{sorted(unknown)} — written by a newer version of this "
                 f"framework? (known: {sorted(full)})")
         template = {k: v for k, v in full.items() if k in keys}
-    mres = mid_ckpt.restore(template, epoch=step)
+    try:
+        mres = mid_ckpt.restore(template, epoch=step)
+    except Exception as e:
+        if keys is None:
+            # Format detection couldn't run (unreadable tree metadata) and
+            # the current-format template failed: the one case where the
+            # original error needs a format hint attached.
+            e.add_note(
+                "mid-checkpoint tree metadata was unreadable, so the "
+                "current-format template was assumed; if this checkpoint "
+                "was written by an older version (pre-spc/pre-ga wrapper), "
+                "delete the mid/ directory to restart the epoch")
+        raise
     if mres is not None:
         mres[0].setdefault("spc", np.asarray(spc, np.int64))
         mres[0].setdefault("ga", np.asarray(1, np.int64))

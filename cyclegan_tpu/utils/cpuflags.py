@@ -202,6 +202,12 @@ class AotWarningFilter:
                       f"benign XLA:CPU AOT tuning-feature warnings "
                       f"(prefer-no-gather/scatter; same-host cache hits)\n"
                       ).encode())
+        if self._thread.is_alive():
+            # The pump is stuck mid-write (stalled downstream consumer):
+            # closing its fd now risks EBADF or writes into a recycled fd
+            # number. Leak one fd instead — the daemon thread dies with the
+            # process.
+            return
         os.close(self._saved)
 
 

@@ -286,19 +286,23 @@ def test_micro_batcher_overload_handoff_is_immediate():
     (queue > max_batch) must take leadership the instant the in-flight round
     completes — condition-variable handoff, not a 50 ms poll quantum.
 
-    12 concurrent requests through max_batch=1 force 12 sequential rounds
-    with 11 leadership handoffs. The old wait(0.05) loop averaged ~25 ms per
-    handoff (~0.3 s total floor); condition handoff finishes in the device
-    time (~24 ms) plus scheduler noise."""
+    24 concurrent requests through max_batch=1 force 24 sequential rounds
+    with 23 leadership handoffs. Measured on this host: the old wait(0.05)
+    loop's handoff overhead (elapsed minus device time) is ~12-20 ms per
+    handoff — thread-start staggering spreads the poll phases, so it beats
+    the naive 25 ms/handoff expectation but still floors around 0.28 s at
+    23 handoffs; condition-variable handoff measures ~10-40 ms TOTAL."""
     import time
 
+    device_s = 0.002
+
     def fake_predict(batch):
-        time.sleep(0.002)
+        time.sleep(device_s)
         return batch[:, :, :, 0]
 
     mb = http_serve._MicroBatcher(fake_predict, max_batch=1,
                                   metrics=http_serve._Metrics())
-    n = 12
+    n = 24
     imgs = [np.full((2, 2, 1), float(i), np.float32) for i in range(n)]
     results = [None] * n
     ts = [threading.Thread(target=lambda i=i: results.__setitem__(
@@ -312,10 +316,12 @@ def test_micro_batcher_overload_handoff_is_immediate():
     for i in range(n):
         np.testing.assert_array_equal(results[i],
                                       np.full((2, 2), i, np.uint8))
-    # Generous vs scheduler noise, far below the polling floor (~0.3 s):
-    # 12 rounds x 2 ms device + handoffs must fit well under one quantum
-    # per handoff.
-    assert elapsed < 0.25, f"handoff latency regressed: {elapsed:.3f}s"
+    overhead = elapsed - n * device_s
+    # Budget ~6 ms/handoff of pure scheduling overhead — 3-10x above the
+    # measured CV-handoff total (headroom for a loaded 1-core CI box), half
+    # the old loop's measured per-handoff floor.
+    assert overhead < 0.15, (
+        f"handoff overhead regressed: {overhead:.3f}s over {n} rounds")
 
 
 def test_http_server_rejects_gt255_classes(monkeypatch):
