@@ -57,6 +57,8 @@ def test_soak_summary_rates_stalls_and_phase_reset(tmp_path):
     assert rates["min"] == 10.0 and rates["max"] == 25.0
     assert s["g_total_first"] == 10.0 and s["g_total_last"] == 9.0
     assert s["g_total_max"] == 12.0
+    # The metrics file itself is accepted in place of its directory.
+    assert summarize(str(res / "train_metrics.jsonl")) == s
 
 
 def test_soak_summary_flags_nonfinite(tmp_path):

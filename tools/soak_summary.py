@@ -22,7 +22,9 @@ import sys
 
 def summarize(results_dir: str, ckpt_dir: str | None = None,
               stall_threshold_s: float = 10.0) -> dict:
-    path = os.path.join(results_dir, "train_metrics.jsonl")
+    # Accept either the results directory or the metrics file itself.
+    path = results_dir if os.path.isfile(results_dir) \
+        else os.path.join(results_dir, "train_metrics.jsonl")
     rows = [json.loads(ln) for ln in open(path) if ln.strip()]
     if not rows:
         raise SystemExit(f"no metric rows in {path}")
