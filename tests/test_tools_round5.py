@@ -93,6 +93,26 @@ def tiny_artifact(tmp_path_factory):
     return str(path)
 
 
+def test_miou_parity_platform_knob():
+    """--platform cpu (the default, CI-safe path) still pins jax to CPU and
+    reports the platform it actually ran on; the argv peek that must act
+    before any jax call stays in sync with argparse."""
+    r = subprocess.run(
+        [sys.executable, "tools/miou_parity_run.py", "--steps", "2",
+         "--size", "32", "--batch", "1", "--n_blocks", "1",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, cwd=str(ROOT))
+    assert r.returncode == 0, f"{r.stdout}\n{r.stderr}"
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["jax_platform"] == "cpu"
+    assert abs(out["delta"]) <= 0.5  # the protocol gate, vacuously tiny here
+    # A bad value is argparse's clean error, not an argv-peek crash.
+    r = subprocess.run(
+        [sys.executable, "tools/miou_parity_run.py", "--platform", "gpu"],
+        capture_output=True, text=True, timeout=120, cwd=str(ROOT))
+    assert r.returncode == 2 and "invalid choice" in r.stderr
+
+
 def test_http_bench_cli(tiny_artifact):
     """The load bench drives the real endpoint end-to-end and reports a
     complete JSON record (req/s, percentiles, realized batch size)."""

@@ -27,11 +27,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# --platform must take effect BEFORE any jax call, so peek at argv here
+# (argparse proper runs in main()). "default" lets jax/sitecustomize pick
+# the real device — a real-hardware trajectory leg when the tunnel is up.
+_PLATFORM = "cpu"
+if "--platform" in sys.argv[:-1]:  # a missing value is argparse's error
+    _PLATFORM = sys.argv[sys.argv.index("--platform") + 1]
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
-from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache  # noqa: E402
+    from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache  # noqa: E402
 
-pin_cpu_compile_cache()
+    pin_cpu_compile_cache()
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -67,6 +74,10 @@ def main() -> None:
                          "TPU default, Config.bf16) against the same f32 "
                          "torch oracle — certifies the production numerics "
                          "at trajectory scale (VERDICT r4 item 1)")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                    help="JAX platform for OUR side (torch always runs on "
+                         "host CPU): 'cpu' pins jax to CPU (CI-safe); "
+                         "'default' lets jax pick the real device")
     args = ap.parse_args()
     if args.norm == "batch" and (args.gen_net != "resnet"
                                  or args.dis_net != "patch"):
@@ -162,6 +173,7 @@ def main() -> None:
         "jax_miou": round(miou_j, 4),
         "torch_miou": round(miou_t, 4),
         "miou_delta": round(miou_j - miou_t, 4),
+        "jax_platform": jax.default_backend(),
     }))
 
 

@@ -24,11 +24,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# --platform must take effect BEFORE any jax call, so peek at argv here
+# (argparse proper runs in main()). "default" leaves the platform resolution
+# to jax/sitecustomize — on this box that is the real TPU when the tunnel is
+# up, which turns the protocol into a real-hardware certification leg.
+_PLATFORM = "cpu"
+if "--platform" in sys.argv[:-1]:  # a missing value is argparse's error
+    _PLATFORM = sys.argv[sys.argv.index("--platform") + 1]
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
-from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache  # noqa: E402
+    from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache  # noqa: E402
 
-pin_cpu_compile_cache()
+    pin_cpu_compile_cache()
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -64,6 +72,12 @@ def main() -> None:
                          "TPU default, Config.bf16) against the same f32 "
                          "torch oracle — certifies the production numerics "
                          "at protocol scale (VERDICT r4 item 1)")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                    help="JAX platform for OUR side (torch always runs on "
+                         "host CPU): 'cpu' pins jax to CPU (CI-safe); "
+                         "'default' lets jax pick the real device — run "
+                         "with --bf16 on the TPU to certify the shipping "
+                         "numerics on the actual hardware")
     args = ap.parse_args()
 
     if args.semisup:
@@ -145,6 +159,7 @@ def main() -> None:
         "delta": round(j_miou - t_miou, 4),
         "jax_pixel_acc": round(j_pa, 4), "torch_pixel_acc": round(t_pa, 4),
         "steps": args.steps, "size": args.size, "bf16": bool(args.bf16),
+        "jax_platform": jax.default_backend(),
     }))
 
 
@@ -247,7 +262,7 @@ def run_semisup(args) -> None:
         "delta": round(j_miou - t_miou, 4),
         "jax_pixel_acc": round(j_pa, 4), "torch_pixel_acc": round(t_pa, 4),
         "steps": args.steps, "size": args.size, "pool": args.pool,
-        "bf16": bool(args.bf16),
+        "bf16": bool(args.bf16), "jax_platform": jax.default_backend(),
     }))
 
 
