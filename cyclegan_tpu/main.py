@@ -192,11 +192,22 @@ def main(argv=None) -> None:
     import os
 
     from cyclegan_tpu.parallel.distributed import distributed_launch_pending
-    from cyclegan_tpu.utils.cpuflags import maybe_pin_cpu_compile_cache
+    from cyclegan_tpu.utils.cpuflags import cpu_aot_stderr_filter
 
-    if not (args.training and not (args.serve or args.export or args.testing)
+    if (args.training and not (args.serve or args.export or args.testing)
             and distributed_launch_pending(cfg, os.environ)):
-        maybe_pin_cpu_compile_cache()
+        # distributed.maybe_initialize pins right after init; workers keep
+        # raw stderr (multi-process debugging beats cosmetic filtering).
+        _dispatch(args, cfg)
+        return
+    # Pins the cache AND silences the verified-benign cpu_aot_loader spam
+    # iff the resolved backend is CPU; passes real mismatches through and
+    # evicts the stale cache dir (cpuflags.cpu_aot_stderr_filter).
+    with cpu_aot_stderr_filter():
+        _dispatch(args, cfg)
+
+
+def _dispatch(args, cfg) -> None:
     from cyclegan_tpu.train import runner  # deferred: jax init is slow
 
     if args.serve:

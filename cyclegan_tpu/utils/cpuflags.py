@@ -211,6 +211,33 @@ class AotWarningFilter:
         os.close(self._saved)
 
 
+def cpu_aot_stderr_filter():
+    """Pin the CPU cache and return an :class:`AotWarningFilter` — iff the
+    resolved backend is CPU; a null context otherwise.
+
+    The CLI funnel: a CPU run (explicit ``--platform cpu`` or tunnel-down
+    fallback) otherwise spews the multi-KB verified-benign cpu_aot_loader
+    E-lines on every compile-cache hit (see ``_TUNING_FEATURE_PREFIXES``).
+    The filter drops only PROVEN-benign lines, passes everything else
+    through, and evicts the pinned cache dir on a real ISA mismatch. Same
+    backend-touch caveats as :func:`maybe_pin_cpu_compile_cache` — never
+    call before ``jax.distributed.initialize`` on a multi-process launch.
+    """
+    import contextlib
+
+    import jax
+
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return contextlib.nullcontext()
+    if backend != "cpu":
+        return contextlib.nullcontext()
+    pin_cpu_compile_cache()
+    return AotWarningFilter(evict_dir=jax.config.jax_compilation_cache_dir
+                            or None)
+
+
 def maybe_pin_cpu_compile_cache() -> None:
     """Pin the compile cache iff the RESOLVED backend is CPU.
 

@@ -142,3 +142,29 @@ print("HIT_SUPPRESSED", f.benign_count)
     assert "Machine type used for" not in second.stderr
     # Cache survives (benign suppression must NOT evict).
     assert os.path.isdir(cache) and os.listdir(cache)
+
+
+def test_cli_wraps_dispatch_in_filter(monkeypatch):
+    """main() runs the dispatch inside cpu_aot_stderr_filter() so CPU CLI
+    runs never spew the verified-benign cpu_aot_loader E-lines (round-5
+    session 3). The distributed-pending path is covered separately by
+    tests/test_distributed_init.py (no backend touch before init)."""
+    import cyclegan_tpu.main as main_mod
+    from cyclegan_tpu.utils import cpuflags
+
+    events = []
+
+    class Recorder:
+        def __enter__(self):
+            events.append("enter")
+            return self
+
+        def __exit__(self, *exc):
+            events.append("exit")
+            return False
+
+    monkeypatch.setattr(cpuflags, "cpu_aot_stderr_filter", lambda: Recorder())
+    monkeypatch.setattr(main_mod, "_dispatch",
+                        lambda a, c: events.append("dispatch"))
+    main_mod.main(["--testing", "--dataset", "synthetic"])
+    assert events == ["enter", "dispatch", "exit"]
