@@ -27,11 +27,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# --platform must take effect BEFORE any jax call (see miou_parity_run.py).
+_PLATFORM = "cpu"
+if "--platform" in sys.argv[:-1]:  # a missing value is argparse's error
+    _PLATFORM = sys.argv[sys.argv.index("--platform") + 1]
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
-from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache  # noqa: E402
+    from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache  # noqa: E402
 
-pin_cpu_compile_cache()
+    pin_cpu_compile_cache()
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -46,41 +51,50 @@ from cyclegan_tpu.utils.config import Config  # noqa: E402
 
 
 def train_and_measure(steps: int, size: int, ngf: int, batch: int,
-                      classes: int, workdir: str) -> dict:
+                      classes: int, workdir: str, *,
+                      checkpoint_dir: str | None = None,
+                      semisupervised: bool = False,
+                      gen_net: str = "resnet_6blocks", ndf: int = 8,
+                      platforms: tuple = ("cpu",)) -> dict:
     """Train briefly, export f32/bf16/int8 artifacts of the SAME checkpoint,
     serve the SAME val PNGs with each, return the scores + sizes dict.
     Shared by the CLI below and tests/test_quantize_miou.py (which runs it
-    at a smaller scale and gates the deltas)."""
+    at a smaller scale and gates the deltas). Passing ``checkpoint_dir``
+    skips the training phase and measures an EXISTING checkpoint instead
+    (e.g. a converged soak run's ``best/`` — the deltas that matter are the
+    ones on a genuinely trained model); gen_net/ngf/ndf/semisupervised must
+    then match how it was trained."""
     from PIL import Image
 
     work = Path(workdir)
-    cfg = Config(dataset="synthetic", gen_net="resnet_6blocks", ngf=ngf,
-                 ndf=8, bf16=False, crop_height=size, crop_width=size,
+    cfg = Config(dataset="synthetic", gen_net=gen_net, ngf=ngf,
+                 ndf=ndf, bf16=False, crop_height=size, crop_width=size,
                  batch_size=batch, epochs=10_000, decay_epoch=5_000,
-                 checkpoint_dir=str(work / "ckpt"),
+                 checkpoint_dir=checkpoint_dir or str(work / "ckpt"),
                  results_dir=str(work / "out"))
 
-    # ---- train to above-chance quality (deltas on a random net would be
-    # meaningless: every artifact would score ~1/classes)
-    train_ds = make_dataset("synthetic", split="train", size=64)
-    loader = Loader(train_ds, batch_size=batch, crop_hw=(size, size),
-                    train=True, seed=0)
-    trainer = SupervisedTrainer(cfg, classes, 3, steps_per_epoch=1)
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    step = jax.jit(trainer.train_step, donate_argnums=0)
-    done, e = 0, 0
-    while done < steps:
-        for b in loader.epoch(e):
-            state, _ = step(state, {"image": jnp.asarray(b["image"]),
-                                    "label": jnp.asarray(b["label"])})
-            done += 1
-            if done >= steps:
-                break
-        e += 1
-    ckpt = CheckpointManager(cfg.checkpoint_dir, async_save=False)
-    ckpt.save(0, jax.device_get(state))
-    ckpt.wait()
-    ckpt.close()
+    if checkpoint_dir is None:
+        # ---- train to above-chance quality (deltas on a random net would
+        # be meaningless: every artifact would score ~1/classes)
+        train_ds = make_dataset("synthetic", split="train", size=64)
+        loader = Loader(train_ds, batch_size=batch, crop_hw=(size, size),
+                        train=True, seed=0)
+        trainer = SupervisedTrainer(cfg, classes, 3, steps_per_epoch=1)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(trainer.train_step, donate_argnums=0)
+        done, e = 0, 0
+        while done < steps:
+            for b in loader.epoch(e):
+                state, _ = step(state, {"image": jnp.asarray(b["image"]),
+                                        "label": jnp.asarray(b["label"])})
+                done += 1
+                if done >= steps:
+                    break
+            e += 1
+        ckpt = CheckpointManager(cfg.checkpoint_dir, async_save=False)
+        ckpt.save(0, jax.device_get(state))
+        ckpt.wait()
+        ckpt.close()
 
     # ---- the fixture val set as PNGs + GT masks (the standalone serving
     # host's actual input format)
@@ -99,12 +113,13 @@ def train_and_measure(steps: int, size: int, ngf: int, batch: int,
             gt_dir / f"img_{i:03d}.png")
 
     # ---- three artifacts of the SAME checkpoint, scored on the SAME set
-    out = {"steps": steps, "size": size}
+    out = {"steps": None if checkpoint_dir else steps, "size": size,
+           "checkpoint": checkpoint_dir}
     for quant in (None, "bf16", "int8"):
         name = quant or "f32"
         path = str(work / f"seg_{name}.shlo")
-        export_lib.run_export(cfg, path, semisupervised=False,
-                              what="segment", platforms=("cpu",),
+        export_lib.run_export(cfg, path, semisupervised=semisupervised,
+                              what="segment", platforms=platforms,
                               quantize=quant)
         res = serve_lib.run_serve(path, str(img_dir),
                                   str(work / f"pred_{name}"),
@@ -124,10 +139,25 @@ def main() -> None:
     ap.add_argument("--ngf", type=int, default=8)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--classes", type=int, default=21)
+    ap.add_argument("--checkpoint", default=None,
+                    help="measure an EXISTING checkpoint dir instead of "
+                         "training one (gen_net/ngf/ndf/--semisup must "
+                         "match how it was trained)")
+    ap.add_argument("--semisup", action="store_true",
+                    help="the checkpoint is a semi-sup CycleGAN state "
+                         "(G_i2l is the segmenter)")
+    ap.add_argument("--gen_net", default="resnet_6blocks")
+    ap.add_argument("--ndf", type=int, default=8)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                    help="'default' lets jax pick the real device and "
+                         "lowers the artifacts for cpu+tpu")
     args = ap.parse_args()
+    platforms = ("cpu",) if args.platform == "cpu" else ("cpu", "tpu")
     with tempfile.TemporaryDirectory() as tmp:
         print(json.dumps(train_and_measure(
-            args.steps, args.size, args.ngf, args.batch, args.classes, tmp)))
+            args.steps, args.size, args.ngf, args.batch, args.classes, tmp,
+            checkpoint_dir=args.checkpoint, semisupervised=args.semisup,
+            gen_net=args.gen_net, ndf=args.ndf, platforms=platforms)))
 
 
 if __name__ == "__main__":
