@@ -31,3 +31,24 @@ def test_quantized_artifacts_hold_miou(tmp_path):
     # The size wins that motivate quantization must hold too.
     assert res["bytes_bf16"] < 0.62 * res["bytes_f32"]
     assert res["bytes_int8"] < 0.40 * res["bytes_f32"]
+
+
+@pytest.mark.slow
+def test_existing_checkpoint_path_matches_freshly_trained(tmp_path):
+    """checkpoint_dir= skips training and measures an EXISTING checkpoint
+    (how the converged-soak numbers in BASELINE.md round 5 were produced):
+    pointing it at the checkpoint the training path just wrote must yield
+    byte-identical artifacts, hence identical scores."""
+    first = train_and_measure(steps=8, size=32, ngf=8, batch=4, classes=21,
+                              workdir=str(tmp_path / "a"))
+    again = train_and_measure(steps=0, size=32, ngf=8, batch=4, classes=21,
+                              workdir=str(tmp_path / "b"),
+                              checkpoint_dir=str(tmp_path / "a" / "ckpt"))
+    assert again["checkpoint"] and again["steps"] is None
+    for k in ("miou_f32", "miou_bf16", "miou_int8",
+              "pixel_acc_f32", "pixel_acc_bf16", "pixel_acc_int8"):
+        assert again[k] == first[k], (k, first[k], again[k])
+    for k in ("bytes_f32", "bytes_bf16", "bytes_int8"):
+        # The manifest sidecar embeds the checkpoint path, so sizes differ
+        # by the path-string delta only — the weights are identical.
+        assert abs(again[k] - first[k]) < 100, (k, first[k], again[k])
