@@ -173,22 +173,46 @@ class AotWarningFilter:
         os.close(self._r)
 
     def _handle(self, raw: bytes) -> None:
-        verdict = classify_aot_mismatch(raw.decode("utf-8", "replace"))
-        if verdict == "benign":
-            self.benign_count += 1
-            return
-        if verdict == "real":
-            self.real_mismatches.append(raw.decode("utf-8", "replace"))
-            if self.evict_dir and not self._evicted:
-                self._evicted = True
-                import shutil
+        # The pump is the ONLY reader of the process's stderr pipe: if it
+        # dies, every later write to fd 2 blocks once the 64 KiB pipe
+        # fills — a hang mode far worse than any unfiltered line. So no
+        # exception may escape: classification errors degrade to
+        # passthrough, and passthrough write errors drop the line after a
+        # brief retry (a stalled/closed downstream consumer is the host's
+        # problem; the filter must keep draining).
+        try:
+            verdict = classify_aot_mismatch(raw.decode("utf-8", "replace"))
+            if verdict == "benign":
+                self.benign_count += 1
+                return
+            if verdict == "real":
+                self.real_mismatches.append(raw.decode("utf-8", "replace"))
+                if self.evict_dir and not self._evicted:
+                    self._evicted = True
+                    import shutil
 
-                shutil.rmtree(self.evict_dir, ignore_errors=True)
-                os.makedirs(self.evict_dir, exist_ok=True)
-                os.write(self._saved,
-                         (f"[cpuflags] REAL ISA mismatch in cached XLA:CPU "
-                          f"executable — evicted {self.evict_dir}\n").encode())
-        os.write(self._saved, raw)
+                    shutil.rmtree(self.evict_dir, ignore_errors=True)
+                    os.makedirs(self.evict_dir, exist_ok=True)
+                    self._write_out(
+                        (f"[cpuflags] REAL ISA mismatch in cached XLA:CPU "
+                         f"executable — evicted {self.evict_dir}\n"
+                         ).encode())
+        except Exception:
+            pass  # degrade to passthrough below
+        self._write_out(raw)
+
+    def _write_out(self, data: bytes) -> None:
+        import time
+
+        for _ in range(20):
+            try:
+                os.write(self._saved, data)
+                return
+            except BlockingIOError:  # O_NONBLOCK downstream, momentarily full
+                time.sleep(0.05)
+            except OSError:
+                return  # consumer gone — drop rather than kill the pump
+        # Persistently full non-blocking consumer: drop this line.
 
     def __exit__(self, *exc) -> None:
         import sys
@@ -197,11 +221,11 @@ class AotWarningFilter:
         os.dup2(self._saved, 2)   # drops the pipe's last writer -> pump EOF
         self._thread.join(timeout=10)
         if self.benign_count:
-            os.write(self._saved,
-                     (f"[cpuflags] suppressed {self.benign_count} verified-"
-                      f"benign XLA:CPU AOT tuning-feature warnings "
-                      f"(prefer-no-gather/scatter; same-host cache hits)\n"
-                      ).encode())
+            self._write_out(
+                (f"[cpuflags] suppressed {self.benign_count} verified-"
+                 f"benign XLA:CPU AOT tuning-feature warnings "
+                 f"(prefer-no-gather/scatter; same-host cache hits)\n"
+                 ).encode())
         if self._thread.is_alive():
             # The pump is stuck mid-write (stalled downstream consumer):
             # closing its fd now risks EBADF or writes into a recycled fd
@@ -209,6 +233,26 @@ class AotWarningFilter:
             # process.
             return
         os.close(self._saved)
+
+
+def apply_tool_platform(platform: str) -> None:
+    """Resolve a measurement tool's ``--platform`` choice (cpu | default).
+
+    ``cpu`` pins ``jax_platforms``; ``default`` leaves resolution to
+    jax/sitecustomize (the real TPU when the tunnel is up). Either way the
+    ISA-fingerprinted cache pin keys off the RESOLVED backend
+    (:func:`maybe_pin_cpu_compile_cache`), so a ``default`` that falls back
+    to CPU still gets the pinned dir instead of the shared cross-VM one.
+    Call right after ``parse_args`` in a single-process tool — before the
+    first device use (config is read at backend init / per-compile, so a
+    post-import update is safe; hand-rolled argv peeks are not, they desync
+    from argparse on ``--platform=x`` / abbreviated / repeated forms).
+    """
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    maybe_pin_cpu_compile_cache()
 
 
 def cpu_aot_stderr_filter():

@@ -49,6 +49,7 @@ def test_existing_checkpoint_path_matches_freshly_trained(tmp_path):
               "pixel_acc_f32", "pixel_acc_bf16", "pixel_acc_int8"):
         assert again[k] == first[k], (k, first[k], again[k])
     for k in ("bytes_f32", "bytes_bf16", "bytes_int8"):
-        # The manifest sidecar embeds the checkpoint path, so sizes differ
-        # by the path-string delta only — the weights are identical.
+        # The manifest sidecar embeds config paths (results/work dirs differ
+        # between the two invocations), so sizes differ by the path-string
+        # delta only — the weights are identical (scores above are equal).
         assert abs(again[k] - first[k]) < 100, (k, first[k], again[k])

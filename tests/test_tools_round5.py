@@ -95,18 +95,19 @@ def tiny_artifact(tmp_path_factory):
 
 def test_miou_parity_platform_knob():
     """--platform cpu (the default, CI-safe path) still pins jax to CPU and
-    reports the platform it actually ran on; the argv peek that must act
-    before any jax call stays in sync with argparse."""
+    reports the platform it actually ran on — including the '=' argparse
+    form, which the original argv-peek implementation silently mishandled
+    (it left the platform at CPU while argparse believed 'default')."""
     r = subprocess.run(
         [sys.executable, "tools/miou_parity_run.py", "--steps", "2",
          "--size", "32", "--batch", "1", "--n_blocks", "1",
-         "--platform", "cpu"],
+         "--platform=cpu"],
         capture_output=True, text=True, timeout=600, cwd=str(ROOT))
     assert r.returncode == 0, f"{r.stdout}\n{r.stderr}"
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["jax_platform"] == "cpu"
     assert abs(out["delta"]) <= 0.5  # the protocol gate, vacuously tiny here
-    # A bad value is argparse's clean error, not an argv-peek crash.
+    # A bad value is argparse's clean error.
     r = subprocess.run(
         [sys.executable, "tools/miou_parity_run.py", "--platform", "gpu"],
         capture_output=True, text=True, timeout=120, cwd=str(ROOT))

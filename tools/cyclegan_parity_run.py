@@ -27,19 +27,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 import jax  # noqa: E402
 
-# --platform must take effect BEFORE any jax call, so peek at argv here
-# (argparse proper runs in main()). "default" lets jax/sitecustomize pick
-# the real device — a real-hardware trajectory leg when the tunnel is up.
-_PLATFORM = "cpu"
-if "--platform" in sys.argv[:-1]:  # a missing value is argparse's error
-    _PLATFORM = sys.argv[sys.argv.index("--platform") + 1]
-if _PLATFORM == "cpu":
-    jax.config.update("jax_platforms", "cpu")
-
-    from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache  # noqa: E402
-
-    pin_cpu_compile_cache()
-
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import torch  # noqa: E402
@@ -47,6 +34,7 @@ import torch  # noqa: E402
 from parity_utils import (make_cyclegan_pair, make_fixed_batch,  # noqa: E402
                           make_pool_decisions)
 
+from cyclegan_tpu.utils.cpuflags import apply_tool_platform  # noqa: E402
 from tools.torch_reference import train_step as torch_step_impl  # noqa: E402
 
 
@@ -82,6 +70,7 @@ def main() -> None:
     if args.norm == "batch" and (args.gen_net != "resnet"
                                  or args.dis_net != "patch"):
         ap.error("--norm batch supports --gen_net resnet --dis_net patch only")
+    apply_tool_platform(args.platform)
 
     N, S, NB, C = args.classes, args.size, args.n_blocks, args.channels
     tmodels, t_opts, trainer, state = make_cyclegan_pair(

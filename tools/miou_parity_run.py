@@ -24,20 +24,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 import jax  # noqa: E402
 
-# --platform must take effect BEFORE any jax call, so peek at argv here
-# (argparse proper runs in main()). "default" leaves the platform resolution
-# to jax/sitecustomize — on this box that is the real TPU when the tunnel is
-# up, which turns the protocol into a real-hardware certification leg.
-_PLATFORM = "cpu"
-if "--platform" in sys.argv[:-1]:  # a missing value is argparse's error
-    _PLATFORM = sys.argv[sys.argv.index("--platform") + 1]
-if _PLATFORM == "cpu":
-    jax.config.update("jax_platforms", "cpu")
-
-    from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache  # noqa: E402
-
-    pin_cpu_compile_cache()
-
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import torch  # noqa: E402
@@ -49,6 +35,7 @@ from cyclegan_tpu.data.loader import Loader  # noqa: E402
 from cyclegan_tpu.train import metrics as metrics_lib  # noqa: E402
 from cyclegan_tpu.train.supervised import SupervisedTrainer  # noqa: E402
 from cyclegan_tpu.utils.config import Config  # noqa: E402
+from cyclegan_tpu.utils.cpuflags import apply_tool_platform  # noqa: E402
 from tools.torch_reference import ResnetG  # noqa: E402
 
 
@@ -79,6 +66,7 @@ def main() -> None:
                          "with --bf16 on the TPU to certify the shipping "
                          "numerics on the actual hardware")
     args = ap.parse_args()
+    apply_tool_platform(args.platform)
 
     if args.semisup:
         run_semisup(args)

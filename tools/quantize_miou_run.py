@@ -27,17 +27,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
 
-# --platform must take effect BEFORE any jax call (see miou_parity_run.py).
-_PLATFORM = "cpu"
-if "--platform" in sys.argv[:-1]:  # a missing value is argparse's error
-    _PLATFORM = sys.argv[sys.argv.index("--platform") + 1]
-if _PLATFORM == "cpu":
-    jax.config.update("jax_platforms", "cpu")
-
-    from cyclegan_tpu.utils.cpuflags import pin_cpu_compile_cache  # noqa: E402
-
-    pin_cpu_compile_cache()
-
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -48,6 +37,7 @@ from cyclegan_tpu.data.loader import Loader  # noqa: E402
 from cyclegan_tpu.train.checkpoint import CheckpointManager  # noqa: E402
 from cyclegan_tpu.train.supervised import SupervisedTrainer  # noqa: E402
 from cyclegan_tpu.utils.config import Config  # noqa: E402
+from cyclegan_tpu.utils.cpuflags import apply_tool_platform  # noqa: E402
 
 
 def train_and_measure(steps: int, size: int, ngf: int, batch: int,
@@ -114,7 +104,8 @@ def train_and_measure(steps: int, size: int, ngf: int, batch: int,
 
     # ---- three artifacts of the SAME checkpoint, scored on the SAME set
     out = {"steps": None if checkpoint_dir else steps, "size": size,
-           "checkpoint": checkpoint_dir}
+           "checkpoint": checkpoint_dir,
+           "jax_platform": jax.default_backend()}
     for quant in (None, "bf16", "int8"):
         name = quant or "f32"
         path = str(work / f"seg_{name}.shlo")
@@ -134,11 +125,16 @@ def train_and_measure(steps: int, size: int, ngf: int, batch: int,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="training steps (default 300); incompatible with "
+                         "--checkpoint, which skips training")
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--ngf", type=int, default=8)
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--classes", type=int, default=21)
+    ap.add_argument("--classes", type=int, default=None,
+                    help="classes for the trained fixture net (default "
+                         "21); incompatible with --checkpoint (the "
+                         "restored net fixes its own class count)")
     ap.add_argument("--checkpoint", default=None,
                     help="measure an EXISTING checkpoint dir instead of "
                          "training one (gen_net/ngf/ndf/--semisup must "
@@ -152,10 +148,17 @@ def main() -> None:
                     help="'default' lets jax pick the real device and "
                          "lowers the artifacts for cpu+tpu")
     args = ap.parse_args()
+    if args.checkpoint and (args.steps is not None
+                            or args.classes is not None):
+        ap.error("--steps/--classes configure the freshly-trained fixture "
+                 "net and are ignored with --checkpoint — drop them")
+    apply_tool_platform(args.platform)
     platforms = ("cpu",) if args.platform == "cpu" else ("cpu", "tpu")
     with tempfile.TemporaryDirectory() as tmp:
         print(json.dumps(train_and_measure(
-            args.steps, args.size, args.ngf, args.batch, args.classes, tmp,
+            args.steps if args.steps is not None else 300, args.size,
+            args.ngf, args.batch,
+            args.classes if args.classes is not None else 21, tmp,
             checkpoint_dir=args.checkpoint, semisupervised=args.semisup,
             gen_net=args.gen_net, ndf=args.ndf, platforms=platforms)))
 
